@@ -1,0 +1,53 @@
+"""arrowtpu — a TPU-native columnar data framework and vectorized
+query-execution engine built from scratch in JAX/XLA/Pallas/pjit.
+
+Covers the capability set of apache/arrow-rs (reference mounted read-only at
+/root/reference; see SURVEY.md for the structural analysis): Arrow-style
+columnar batches with packed validity bitmaps resident in HBM, a compute
+kernel plane (selection, fused elementwise predicates/arithmetic with SQL
+null semantics, aggregation, sorting over an order-preserving row/key
+encoding), hash group-by/join, and multi-host scale-out via hash
+partitioning + all-to-all shuffle over a jax.sharding Mesh.
+"""
+
+from . import config  # noqa: F401  (enables x64; must import first)
+from . import schema
+from .config import CastOptions, SortOptions, TakeOptions
+from .core import (
+    BooleanColumn,
+    Column,
+    DictionaryColumn,
+    NullColumn,
+    PrimitiveColumn,
+    RecordBatch,
+    StringViewColumn,
+    bitmap,
+    boolean,
+    dictionary_encode_host,
+    from_pylist,
+    null_column,
+    primitive,
+    record_batch,
+    string_view,
+)
+from .schema import (
+    ArrowTpuError,
+    DataType,
+    Field,
+    Schema,
+    binary,
+    float16,
+    float32,
+    float64,
+    int8,
+    int16,
+    int32,
+    int64,
+    uint8,
+    uint16,
+    uint32,
+    uint64,
+    utf8,
+)
+
+__version__ = "0.1.0"

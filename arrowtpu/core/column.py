@@ -1,0 +1,450 @@
+"""Typed columnar arrays as JAX pytrees resident in HBM.
+
+Capability mirror of the reference's array stack
+(/root/reference/arrow-array/src/array/mod.rs:123 Array trait,
+arrow-data/src/data.rs:208 ArrayData), re-designed TPU-first:
+
+  * A column is a frozen dataclass pytree of dense `jax.Array` leaves —
+    values (capacity-padded), a packed uint32 validity bitmap (or None for
+    all-valid, like the reference's `nulls: Option<NullBuffer>`), and a
+    traced scalar `length`.  The Arc'd Buffer graph + trait-object dispatch
+    of the reference (arrow-array/src/cast.rs:361 downcast macros) becomes
+    dtype-static metadata + JIT specialization.
+  * Capacities are static and padded to config.CAPACITY_GRANULE (128) so
+    every kernel sees tile-aligned shapes; `length` carries the dynamic row
+    count (XLA needs static shapes — reference slicing with arbitrary
+    offsets, arrow-buffer/src/buffer/immutable.rs:83, becomes
+    capacity+length).
+  * Padding contract: rows in [length, capacity) have value 0 / validity
+    bit 0 (when a validity bitmap exists).  Kernels may freely compute on
+    padding; they must never let it influence rows < length.
+  * Strings/bytes use arrow *view* representation — a (capacity, 4) uint32
+    view array {length, prefix, buffer_index, offset} + one shared uint8
+    arena (reference arrow-data/src/byte_view.rs:70-76,
+    arrow-array/src/array/byte_view_array.rs:165): filter/take gather only
+    the fixed-width views and share the arena, which is exactly the dense
+    gather TPUs are good at.
+  * Dictionary columns hold integer keys + a value column
+    (reference arrow-array DictionaryArray); kernels operate on keys where
+    possible (reference take.rs:935, filter.rs:588).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import schema as st
+from ..config import CAPACITY_GRANULE, round_up
+from . import bitmap as bm
+
+Array = jax.Array
+
+
+def _as_length(length, capacity: int) -> Array:
+    if length is None:
+        length = capacity
+    return jnp.asarray(length, dtype=jnp.int32)
+
+
+class Column:
+    """Abstract base; concrete columns are the dataclasses below.
+
+    Mirrors the reference's `Array` trait surface
+    (arrow-array/src/array/mod.rs:123): len/capacity, dtype, validity,
+    null_count, is_valid — in shape-static, jit-friendly form."""
+
+    dtype: st.DataType
+    validity: Optional[Array]
+    length: Array
+
+    @property
+    def capacity(self) -> int:
+        raise NotImplementedError
+
+    def null_count(self) -> Array:
+        """Traced scalar count of null rows in [0, length)."""
+        if self.validity is None:
+            return jnp.int32(0)
+        live = self.validity & bm.row_mask_words(self.capacity, self.length)
+        return jnp.int32(self.length) - bm.count_set_bits(live)
+
+    def valid_bool(self) -> Array:
+        """(capacity,) bool: row is valid AND not padding."""
+        mask = bm.row_mask_bool(self.capacity, self.length)
+        if self.validity is None:
+            return mask
+        return bm.unpack(self.validity) & mask
+
+    def validity_or_full(self) -> Array:
+        if self.validity is None:
+            return bm.all_valid(self.capacity) & bm.row_mask_words(
+                self.capacity, self.length
+            )
+        return self.validity
+
+    def with_validity(self, validity: Optional[Array]) -> "Column":
+        return dataclasses.replace(self, validity=validity)
+
+    def with_length(self, length) -> "Column":
+        return dataclasses.replace(self, length=_as_length(length, self.capacity))
+
+    # -- host-side helpers (not jit-safe) ------------------------------------
+    def concrete_length(self) -> int:
+        return int(self.length)
+
+    def to_pylist(self):
+        raise NotImplementedError
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
+    return cls
+
+
+@partial(_register, data_fields=["values", "validity", "length"], meta_fields=["dtype"])
+@dataclasses.dataclass(frozen=True)
+class PrimitiveColumn(Column):
+    """Fixed-width values (reference PrimitiveArray<T>,
+    arrow-array/src/array/primitive_array.rs)."""
+
+    values: Array  # (capacity,) of dtype.to_jnp()
+    validity: Optional[Array]  # packed uint32 (capacity/32,) or None
+    length: Array  # traced int32 scalar
+    dtype: st.DataType
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[0]
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        vals = np.asarray(self.values)[:n]
+        if self.validity is None:
+            return vals.tolist()
+        valid = bm.to_numpy_bools(self.validity, n)
+        return [v.item() if ok else None for v, ok in zip(vals, valid)]
+
+
+@partial(_register, data_fields=["values", "validity", "length"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class BooleanColumn(Column):
+    """Packed boolean values (reference BooleanArray over BooleanBuffer,
+    arrow-array/src/array/boolean_array.rs)."""
+
+    values: Array  # packed uint32 (capacity/32,)
+    validity: Optional[Array]
+    length: Array
+
+    dtype = st.boolean
+
+    @property
+    def capacity(self) -> int:
+        return bm.capacity_of(self.values)
+
+    def values_bool(self) -> Array:
+        return bm.unpack(self.values)
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        vals = bm.to_numpy_bools(self.values, n)
+        if self.validity is None:
+            return vals.tolist()
+        valid = bm.to_numpy_bools(self.validity, n)
+        return [bool(v) if ok else None for v, ok in zip(vals, valid)]
+
+
+@partial(
+    _register,
+    data_fields=["views", "arena", "validity", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class StringViewColumn(Column):
+    """Utf8/Binary with arrow-view physical layout
+    (reference GenericByteViewArray, arrow-array/src/array/byte_view_array.rs;
+    view word layout arrow-data/src/byte_view.rs:70-76).
+
+    views[i] = [length, prefix (first <=4 bytes, little-endian-packed),
+    buffer_index (always 0 here: single arena), offset].  Strings <= 12
+    bytes are fully inline: bytes 4..12 live in the buffer_index/offset
+    words, exactly as the reference's inline form."""
+
+    views: Array  # (capacity, 4) uint32
+    arena: Array  # (arena_capacity,) uint8 shared data buffer
+    validity: Optional[Array]
+    length: Array
+    dtype: st.DataType  # Utf8 or Binary
+
+    @property
+    def capacity(self) -> int:
+        return self.views.shape[0]
+
+    def str_lengths(self) -> Array:
+        return self.views[:, 0].astype(jnp.int32)
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        views = np.asarray(self.views)[:n]
+        arena = np.asarray(self.arena)
+        valid = (
+            bm.to_numpy_bools(self.validity, n)
+            if self.validity is not None
+            else np.ones(n, bool)
+        )
+        out = []
+        is_utf8 = isinstance(self.dtype, st.Utf8)
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            ln = int(views[i, 0])
+            if ln <= 12:
+                raw = views[i, 1:].astype("<u4").tobytes()[:ln]
+            else:
+                off = int(views[i, 3])
+                raw = arena[off : off + ln].tobytes()
+            out.append(raw.decode("utf-8") if is_utf8 else raw)
+        return out
+
+
+@partial(
+    _register,
+    data_fields=["keys", "values", "value_ranks"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class DictionaryColumn(Column):
+    """Dictionary-encoded column (reference DictionaryArray<K>,
+    arrow-array/src/array/dictionary_array.rs).  Validity/length live on the
+    keys column (like the reference, where the keys PrimitiveArray carries
+    the nulls).
+
+    value_ranks: optional (values.capacity,) int32 sort-rank of each
+    dictionary value, the precomputed analogue of the reference's
+    dictionary-sort `child_rank` (arrow-ord/src/sort.rs sort_dictionary,
+    rank kernel arrow-ord/src/rank.rs:57).  Sorting a dict column sorts keys
+    by value_ranks."""
+
+    keys: PrimitiveColumn
+    values: Column
+    value_ranks: Optional[Array]
+    dtype: st.Dictionary
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.capacity
+
+    @property
+    def validity(self):  # type: ignore[override]
+        return self.keys.validity
+
+    @property
+    def length(self):  # type: ignore[override]
+        return self.keys.length
+
+    def with_validity(self, validity):
+        return dataclasses.replace(self, keys=self.keys.with_validity(validity))
+
+    def with_length(self, length):
+        return dataclasses.replace(self, keys=self.keys.with_length(length))
+
+    def to_pylist(self):
+        vals = self.values.to_pylist()
+        out = []
+        for k in self.keys.to_pylist():
+            out.append(None if k is None else vals[k])
+        return out
+
+
+@partial(_register, data_fields=["length"], meta_fields=["_capacity"])
+@dataclasses.dataclass(frozen=True)
+class NullColumn(Column):
+    """All-null column (reference NullArray)."""
+
+    length: Array
+    _capacity: int
+
+    dtype = st.null
+    validity = None
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def null_count(self):
+        return jnp.int32(self.length)
+
+    def valid_bool(self):
+        return jnp.zeros((self._capacity,), dtype=jnp.bool_)
+
+    def to_pylist(self):
+        return [None] * self.concrete_length()
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+
+def primitive(values, dtype: st.DataType = None, validity=None, length=None,
+              capacity: int = None) -> PrimitiveColumn:
+    """Build a PrimitiveColumn from a device/host array, padding to the
+    capacity granule. `validity` may be packed words, a bool array, or None."""
+    values = jnp.asarray(values)
+    if dtype is None:
+        dtype = st.from_jnp(values.dtype)
+    jdt = dtype.to_jnp()
+    values = values.astype(jdt)
+    n = values.shape[0]
+    cap = round_up(max(n, 1) if capacity is None else capacity)
+    if cap < n:
+        raise st.InvalidArgumentError(f"capacity {cap} < data length {n}")
+    if cap != n:
+        values = jnp.pad(values, (0, cap - n))
+    if validity is not None:
+        validity = jnp.asarray(validity)
+        if validity.dtype == jnp.bool_:
+            if validity.shape[0] != cap:
+                validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+            validity = bm.pack(validity)
+        assert validity.shape[0] == bm.num_words(cap)
+    return PrimitiveColumn(values, validity, _as_length(n if length is None else length, cap), dtype)
+
+
+def boolean(values, validity=None, length=None, capacity: int = None) -> BooleanColumn:
+    values = jnp.asarray(values)
+    if values.dtype == jnp.bool_:
+        n = values.shape[0]
+        cap = round_up(max(n, 1) if capacity is None else capacity)
+        if cap != n:
+            values = jnp.pad(values, (0, cap - n))
+        words = bm.pack(values)
+    else:  # already packed words
+        words = values.astype(jnp.uint32)
+        cap = bm.capacity_of(words)
+        n = cap if length is None else length
+    if validity is not None:
+        validity = jnp.asarray(validity)
+        if validity.dtype == jnp.bool_:
+            if validity.shape[0] != cap:
+                validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+            validity = bm.pack(validity)
+    return BooleanColumn(words, validity, _as_length(n if length is None else length, cap))
+
+
+def from_pylist(data, dtype: st.DataType = None) -> Column:
+    """Build a column from a python list with None for nulls (host-side;
+    the analogue of the reference's builders, arrow-array/src/builder/)."""
+    n = len(data)
+    valid = np.array([x is not None for x in data], dtype=bool)
+    has_nulls = not valid.all()
+
+    if dtype is None:
+        probe = next((x for x in data if x is not None), None)
+        if probe is None:
+            return NullColumn(_as_length(n, round_up(max(n, 1))), round_up(max(n, 1)))
+        if isinstance(probe, bool):
+            dtype = st.boolean
+        elif isinstance(probe, int):
+            dtype = st.int64
+        elif isinstance(probe, float):
+            dtype = st.float64
+        elif isinstance(probe, str):
+            dtype = st.utf8
+        elif isinstance(probe, bytes):
+            dtype = st.binary
+        else:
+            raise st.InvalidArgumentError(f"cannot infer dtype from {type(probe)}")
+
+    if isinstance(dtype, st.Boolean):
+        vals = np.array([bool(x) if x is not None else False for x in data], bool)
+        return boolean(vals, validity=bm.from_numpy_bools(valid) if has_nulls else None)
+    if isinstance(dtype, (st.Utf8, st.Binary)):
+        return string_view(data, dtype=dtype)
+    if isinstance(dtype, st.Dictionary):
+        return dictionary_encode_host(data, dtype)
+    jdt = dtype.to_jnp()
+    vals = np.array([x if x is not None else 0 for x in data], dtype=jdt)
+    return primitive(
+        vals, dtype, validity=bm.from_numpy_bools(valid) if has_nulls else None
+    )
+
+
+def string_view(data, dtype: st.DataType = st.utf8) -> StringViewColumn:
+    """Host-side view builder (reference StringViewBuilder,
+    arrow-array/src/builder/generic_byte_view_builder.rs)."""
+    n = len(data)
+    cap = round_up(max(n, 1))
+    views = np.zeros((cap, 4), dtype=np.uint32)
+    valid = np.zeros(cap, dtype=bool)
+    arena = bytearray()
+    for i, s in enumerate(data):
+        if s is None:
+            continue
+        valid[i] = True
+        raw = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+        ln = len(raw)
+        views[i, 0] = ln
+        pref = raw[:4] + b"\0" * (4 - min(ln, 4))
+        views[i, 1] = np.frombuffer(pref, dtype="<u4")[0]
+        if ln <= 12:
+            tail = raw[4:12] + b"\0" * (8 - max(0, ln - 4))
+            views[i, 2:4] = np.frombuffer(tail[:8], dtype="<u4")
+        else:
+            views[i, 3] = len(arena)
+            arena.extend(raw)
+    arena_cap = round_up(max(len(arena), 1))
+    arena_np = np.zeros(arena_cap, dtype=np.uint8)
+    if arena:
+        arena_np[: len(arena)] = np.frombuffer(bytes(arena), dtype=np.uint8)
+    has_nulls = not valid[:n].all()
+    return StringViewColumn(
+        jnp.asarray(views),
+        jnp.asarray(arena_np),
+        bm.from_numpy_bools(valid[:n]) if has_nulls else None,
+        _as_length(n, cap),
+        dtype,
+    )
+
+
+def dictionary_encode_host(data, dtype: st.Dictionary = None) -> DictionaryColumn:
+    """Host-side dictionary interning builder (reference
+    arrow-array/src/builder/generic_bytes_dictionary_builder.rs).  Also
+    precomputes value sort-ranks while the values are on host (see
+    DictionaryColumn.value_ranks)."""
+    if dtype is None:
+        dtype = st.Dictionary(st.int32, st.utf8)
+    interned: dict = {}
+    keys = []
+    for x in data:
+        if x is None:
+            keys.append(0)
+            continue
+        if x not in interned:
+            interned[x] = len(interned)
+        keys.append(interned[x])
+    values_list = list(interned.keys())
+    valid = np.array([x is not None for x in data], dtype=bool)
+    has_nulls = not valid.all()
+    keys_col = primitive(
+        np.asarray(keys, dtype=dtype.key.to_jnp()),
+        dtype.key,
+        validity=bm.from_numpy_bools(valid) if has_nulls else None,
+    )
+    values_col = from_pylist(values_list, dtype.value)
+    # rank of each dictionary value under ascending order
+    order = np.argsort(np.asarray(values_list, dtype=object), kind="stable")
+    ranks = np.zeros(values_col.capacity, dtype=np.int32)
+    ranks[: len(values_list)][order] = np.arange(len(values_list), dtype=np.int32)
+    return DictionaryColumn(keys_col, values_col, jnp.asarray(ranks), dtype)
+
+
+def null_column(n: int) -> NullColumn:
+    cap = round_up(max(n, 1))
+    return NullColumn(_as_length(n, cap), cap)

@@ -1,0 +1,353 @@
+"""Logical type system: DataType, Field, Schema, errors.
+
+Capability mirror of the reference's arrow-schema crate
+(/root/reference/arrow-schema/src/datatype.rs:96-430, field.rs, schema.rs,
+error.rs:26) re-designed for a JAX engine: types are small frozen dataclasses
+used as *static* (non-traced) metadata on pytree columns, so `jit` specializes
+one compiled program per concrete schema — JIT specialization replaces the
+reference's monomorphized generic kernels (arrow-array/src/cast.rs:361).
+
+Physical representation notes (TPU-first, not a port):
+  * fixed-width types map 1:1 onto a dense `jax.Array` of the native dtype;
+  * Boolean is a packed 32-bit-word bitmap (reference packs into bytes,
+    arrow-buffer/src/buffer/boolean.rs:97);
+  * Utf8/Binary use arrow *view* semantics (16-byte views + shared byte
+    arena, reference arrow-data/src/byte_view.rs:70) because views make
+    take/filter a dense fixed-width gather — the variant TPUs want;
+  * Dictionary is first-class and preferred for strings (the reference's own
+    kernels take dict fast paths, e.g. arrow-select/src/take.rs:935).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class ArrowTpuError(Exception):
+    """Engine error (reference: arrow-schema/src/error.rs:26 ArrowError)."""
+
+
+class InvalidArgumentError(ArrowTpuError):
+    pass
+
+
+class ComputeError(ArrowTpuError):
+    pass
+
+
+class CastError(ArrowTpuError):
+    pass
+
+
+class SchemaError(ArrowTpuError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# DataType
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataType:
+    """Base logical type.  Concrete types are the subclasses below."""
+
+    @property
+    def is_numeric(self) -> bool:
+        return False
+
+    @property
+    def is_primitive(self) -> bool:
+        """Fixed-width value per row (maps to one jax dtype)."""
+        return False
+
+    def to_jnp(self):
+        raise SchemaError(f"{self} has no single jax dtype")
+
+
+@dataclasses.dataclass(frozen=True)
+class Null(DataType):
+    def __str__(self):
+        return "null"
+
+
+@dataclasses.dataclass(frozen=True)
+class Boolean(DataType):
+    def __str__(self):
+        return "bool"
+
+
+@dataclasses.dataclass(frozen=True)
+class _Primitive(DataType):
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+
+_INT_WIDTHS = (8, 16, 32, 64)
+
+
+@dataclasses.dataclass(frozen=True)
+class Int(_Primitive):
+    bits: int = 64
+    signed: bool = True
+
+    def __post_init__(self):
+        if self.bits not in _INT_WIDTHS:
+            raise SchemaError(f"bad int width {self.bits}")
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def to_jnp(self):
+        return jnp.dtype(f"{'' if self.signed else 'u'}int{self.bits}")
+
+    def __str__(self):
+        return f"{'' if self.signed else 'u'}int{self.bits}"
+
+
+@dataclasses.dataclass(frozen=True)
+class Float(_Primitive):
+    bits: int = 64
+
+    def __post_init__(self):
+        if self.bits not in (16, 32, 64):
+            raise SchemaError(f"bad float width {self.bits}")
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def to_jnp(self):
+        return jnp.dtype(f"float{self.bits}")
+
+    def __str__(self):
+        return f"float{self.bits}"
+
+
+# Temporal types: stored as Int64/Int32 with logical unit metadata
+# (reference arrow-schema/src/datatype.rs Timestamp/Date/Time/Duration).
+@dataclasses.dataclass(frozen=True)
+class Timestamp(_Primitive):
+    unit: str = "us"  # s | ms | us | ns
+    tz: Optional[str] = None
+
+    def to_jnp(self):
+        return jnp.dtype("int64")
+
+    def __str__(self):
+        return f"timestamp[{self.unit}{',' + self.tz if self.tz else ''}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Date32(_Primitive):
+    def to_jnp(self):
+        return jnp.dtype("int32")
+
+    def __str__(self):
+        return "date32"
+
+
+@dataclasses.dataclass(frozen=True)
+class Date64(_Primitive):
+    def to_jnp(self):
+        return jnp.dtype("int64")
+
+    def __str__(self):
+        return "date64"
+
+
+@dataclasses.dataclass(frozen=True)
+class Time32(_Primitive):
+    unit: str = "ms"
+
+    def to_jnp(self):
+        return jnp.dtype("int32")
+
+    def __str__(self):
+        return f"time32[{self.unit}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Time64(_Primitive):
+    unit: str = "us"
+
+    def to_jnp(self):
+        return jnp.dtype("int64")
+
+    def __str__(self):
+        return f"time64[{self.unit}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Duration(_Primitive):
+    unit: str = "us"
+
+    def to_jnp(self):
+        return jnp.dtype("int64")
+
+    def __str__(self):
+        return f"duration[{self.unit}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Decimal128(DataType):
+    """128-bit decimal, physically two int64 limbs (TPUs have no i128;
+    reference uses native i128, arrow-buffer/src/bigint)."""
+
+    precision: int = 38
+    scale: int = 10
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def __str__(self):
+        return f"decimal128({self.precision},{self.scale})"
+
+
+@dataclasses.dataclass(frozen=True)
+class Utf8(DataType):
+    """String with view representation (reference Utf8View,
+    arrow-schema/src/datatype.rs + arrow-data/src/byte_view.rs:70)."""
+
+    def __str__(self):
+        return "utf8"
+
+
+@dataclasses.dataclass(frozen=True)
+class Binary(DataType):
+    def __str__(self):
+        return "binary"
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedSizeBinary(DataType):
+    byte_width: int = 16
+
+    def __str__(self):
+        return f"fixed_size_binary[{self.byte_width}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Dictionary(DataType):
+    """Dictionary-encoded column: integer keys into a value column
+    (reference arrow-array DictionaryArray)."""
+
+    key: DataType = dataclasses.field(default_factory=lambda: Int(32))
+    value: DataType = dataclasses.field(default_factory=Utf8)
+
+    def __str__(self):
+        return f"dictionary<{self.key},{self.value}>"
+
+
+@dataclasses.dataclass(frozen=True)
+class List(DataType):
+    value: DataType = dataclasses.field(default_factory=lambda: Int(64))
+
+    def __str__(self):
+        return f"list<{self.value}>"
+
+
+@dataclasses.dataclass(frozen=True)
+class Struct(DataType):
+    fields: Tuple["Field", ...] = ()
+
+    def __str__(self):
+        return "struct<" + ", ".join(f"{f.name}:{f.dtype}" for f in self.fields) + ">"
+
+
+# Convenience constructors (mirror arrow's DataType::Int8..)
+null = Null()
+boolean = Boolean()
+int8 = Int(8)
+int16 = Int(16)
+int32 = Int(32)
+int64 = Int(64)
+uint8 = Int(8, signed=False)
+uint16 = Int(16, signed=False)
+uint32 = Int(32, signed=False)
+uint64 = Int(64, signed=False)
+float16 = Float(16)
+float32 = Float(32)
+float64 = Float(64)
+utf8 = Utf8()
+binary = Binary()
+
+
+def from_jnp(dt) -> DataType:
+    dt = jnp.dtype(dt)
+    if dt.kind == "b":
+        return boolean
+    if dt.kind == "i":
+        return Int(dt.itemsize * 8)
+    if dt.kind == "u":
+        return Int(dt.itemsize * 8, signed=False)
+    if dt.kind == "f":
+        return Float(dt.itemsize * 8)
+    raise SchemaError(f"no arrow type for jax dtype {dt}")
+
+
+# ---------------------------------------------------------------------------
+# Field / Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Field:
+    """reference: arrow-schema/src/field.rs."""
+
+    name: str
+    dtype: DataType
+    nullable: bool = True
+    metadata: Tuple[Tuple[str, str], ...] = ()
+
+    def with_name(self, name: str) -> "Field":
+        return dataclasses.replace(self, name=name)
+
+
+@dataclasses.dataclass(frozen=True)
+class Schema:
+    """reference: arrow-schema/src/schema.rs."""
+
+    fields: Tuple[Field, ...]
+    metadata: Tuple[Tuple[str, str], ...] = ()
+
+    def __post_init__(self):
+        names = [f.name for f in self.fields]
+        if len(set(names)) != len(names):
+            raise SchemaError(f"duplicate field names in schema: {names}")
+
+    @property
+    def names(self):
+        return [f.name for f in self.fields]
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise SchemaError(f"no field named {name!r}")
+
+    def index_of(self, name: str) -> int:
+        for i, f in enumerate(self.fields):
+            if f.name == name:
+                return i
+        raise SchemaError(f"no field named {name!r}")
+
+    def project(self, names) -> "Schema":
+        return Schema(tuple(self.field(n) for n in names), self.metadata)
+
+    def __len__(self):
+        return len(self.fields)
+
+
+def schema(pairs, metadata=()) -> Schema:
+    """schema([("a", int64), ("b", float32)])"""
+    return Schema(
+        tuple(p if isinstance(p, Field) else Field(p[0], p[1]) for p in pairs),
+        tuple(metadata),
+    )
