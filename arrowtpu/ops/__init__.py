@@ -1,0 +1,39 @@
+"""Compute kernel namespace.
+
+Mirrors the reference's canonical public compute API, the umbrella
+`arrow::compute` module (/root/reference/arrow/src/compute/kernels.rs:17-24):
+aggregate, arithmetic, arity, bitwise, boolean, numeric, cast, cmp,
+partition, rank, sort, concat, filter, interleave, nullif, take, window,
+zip — that list is the operator-coverage checklist this package tracks.
+"""
+
+from . import aggregate, arity, bitwise, boolean, cmp, numeric, zip as zipmod
+from .aggregate import bool_and, bool_or, count, finalize, max_, min_, product, sum_
+from .bitwise import bit_and, bit_not, bit_or, bit_xor, shift_left, shift_right
+from .boolean import (
+    and_,
+    and_kleene,
+    and_not,
+    is_not_null,
+    is_null,
+    not_,
+    or_,
+    or_kleene,
+    xor,
+)
+from .cmp import distinct, eq, gt, gt_eq, lt, lt_eq, neq, not_distinct
+from .numeric import (
+    add,
+    add_checked,
+    div,
+    div_checked,
+    mul,
+    mul_checked,
+    neg,
+    raise_if,
+    rem,
+    rem_checked,
+    sub,
+    sub_checked,
+)
+from .zip import nullif, shift, zip_
