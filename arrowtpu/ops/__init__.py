@@ -8,6 +8,21 @@ zip — that list is the operator-coverage checklist this package tracks.
 """
 
 from . import aggregate, arity, bitwise, boolean, cmp, numeric, zip as zipmod
+from . import coalesce, concat as concatmod, filter as filtermod, take as takemod
+from .coalesce import BatchCoalescer, slice_, slice_batch
+from .concat import concat, concat_batches, interleave
+from .filter import FilterPlan, apply_plan, build_plan, filter_, filter_record_batch
+from .take import take, take_record_batch
+from . import sort as sortmod
+from .sort import (
+    lexsort_to_indices,
+    partition,
+    partition_ranges,
+    rank,
+    sort,
+    sort_batch,
+    sort_to_indices,
+)
 from .aggregate import bool_and, bool_or, count, finalize, max_, min_, product, sum_
 from .bitwise import bit_and, bit_not, bit_or, bit_xor, shift_left, shift_right
 from .boolean import (
