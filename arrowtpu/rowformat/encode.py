@@ -1,0 +1,158 @@
+"""Order-preserving key encoding: columns -> uint32 comparison planes.
+
+Capability mirror of the reference's arrow-row crate
+(/root/reference/arrow-row/src/lib.rs:568 RowConverter; fixed-width
+encodings lib.rs:199-230 and fixed.rs:217; float total-order flip
+fixed.rs:118-149; null sentinel + desc/nulls-first handling SortField
+lib.rs:930), re-designed for the TPU:
+
+The reference produces *byte strings* compared with memcmp.  A TPU wants
+fixed-width vector lanes, so each sort column encodes to a short sequence
+of uint32 "planes", most-significant first; comparing rows by the plane
+sequence lexicographically reproduces exactly the reference's row-format
+ordering:
+
+  * sentinel plane: null/valid flag ordered per nulls_first (reference
+    null sentinel byte, lib.rs:199);
+  * signed ints: big-endian word split with sign-bit flip on the top word
+    (reference fixed.rs encode: sentinel + BE + sign flip);
+  * floats: IEEE754 total_order transform — flip all bits for negatives,
+    flip sign for positives — matching Rust total_cmp (NaN > +Inf;
+    reference fixed.rs:118-149), then BE word split;
+  * dictionaries: keys map through precomputed value sort-ranks
+    (the reference instead *hydrates* dictionaries into the row bytes,
+    lib.rs:306-312; ranks give the same ordering with a fixed-width key,
+    the dictionary-sort trick of arrow-ord/src/sort.rs sort_dictionary);
+  * descending: bitwise NOT of the value planes (reference inverts the
+    encoded bytes, lib.rs:1979 encode_column w/ opts.descending).
+
+These planes feed jax.lax.sort (XLA's tuned TPU sort) and the hash layer
+(hash of planes == hash of logical key).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .. import schema as st
+from ..config import SortOptions
+from ..core import bitmap as bm
+from ..core import column as col
+
+_U32 = jnp.uint32
+
+
+def _split_words_u64(u: jax.Array) -> List[jax.Array]:
+    """uint64 -> [hi, lo] uint32 planes (big-endian word order)."""
+    return [(u >> 32).astype(_U32), u.astype(_U32)]
+
+
+def _int_planes(values: jax.Array) -> List[jax.Array]:
+    dt = values.dtype
+    bits = jnp.iinfo(dt).bits
+    signed = jnp.issubdtype(dt, jnp.signedinteger)
+    if bits <= 32:
+        if signed:
+            # order-preserving map to unsigned: subtract the type minimum
+            u = (values.astype(jnp.int64) - jnp.iinfo(dt).min).astype(jnp.uint32)
+            return [u]
+        return [values.astype(_U32)]
+    # 64-bit
+    if signed:
+        u = (values.astype(jnp.int64) ^ jnp.int64(-0x8000000000000000)).astype(jnp.uint64)
+        return _split_words_u64(u)
+    return _split_words_u64(values.astype(jnp.uint64))
+
+
+def _float_planes(values: jax.Array) -> List[jax.Array]:
+    dt = values.dtype
+    if dt == jnp.float16:
+        values = values.astype(jnp.float32)
+        dt = jnp.float32
+    if dt == jnp.float32:
+        b = jax.lax.bitcast_convert_type(values, jnp.int32)
+        mask = jnp.where(b < 0, jnp.int32(-1), jnp.int32(-0x80000000))
+        return [(b ^ mask).astype(_U32)]
+    b = jax.lax.bitcast_convert_type(values.astype(jnp.float64), jnp.int64)
+    mask = jnp.where(b < 0, jnp.int64(-1), jnp.int64(-0x8000000000000000))
+    return _split_words_u64((b ^ mask).astype(jnp.uint64))
+
+
+def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.Array]:
+    """Returns uint32 planes, most-significant first, such that
+    lexicographic ascending comparison == SortOptions ordering."""
+    cap = c.capacity
+    if isinstance(c, col.NullColumn):
+        return [jnp.zeros((cap,), _U32)]
+
+    if isinstance(c, col.DictionaryColumn):
+        if c.value_ranks is None:
+            raise st.ComputeError(
+                "dictionary sort requires value_ranks (call ensure_ranks "
+                "or build via dictionary_encode_host)"
+            )
+        keys = jnp.clip(c.keys.values.astype(jnp.int32), 0, c.values.capacity - 1)
+        rank_vals = c.value_ranks[keys]
+        value_planes = [rank_vals.astype(_U32)]
+        valid = c.keys.valid_bool()
+    elif isinstance(c, col.BooleanColumn):
+        value_planes = [c.values_bool().astype(_U32)]
+        valid = c.valid_bool()
+    elif isinstance(c, col.StringViewColumn):
+        # prefix-plane ordering: correct only up to the stored prefix; use
+        # dictionary encoding for exact arbitrary-length string sorts.
+        # plane = first 4 bytes big-endian (reference stores a 4-byte
+        # prefix in the view for exactly this comparison fast path,
+        # arrow-ord/src/cmp.rs:864 prefix-first compare)
+        pref = c.views[:, 1]
+        # little-endian packed prefix -> big-endian integer order
+        b = pref
+        swapped = (
+            ((b & jnp.uint32(0xFF)) << 24)
+            | ((b & jnp.uint32(0xFF00)) << 8)
+            | ((b >> 8) & jnp.uint32(0xFF00))
+            | (b >> 24)
+        )
+        value_planes = [swapped, c.views[:, 0]]  # prefix then length
+        valid = c.valid_bool()
+    elif isinstance(c, col.PrimitiveColumn):
+        if jnp.issubdtype(c.values.dtype, jnp.floating):
+            value_planes = _float_planes(c.values)
+        else:
+            value_planes = _int_planes(c.values)
+        valid = c.valid_bool()
+    else:
+        raise st.ComputeError(f"encode: unsupported column {type(c).__name__}")
+
+    # null rows: zero the value planes so ties among nulls are stable
+    valid_u = valid.astype(_U32)
+    value_planes = [p * valid_u for p in value_planes]
+    if opts.descending:
+        value_planes = [(~p) * valid_u for p in value_planes]
+
+    if opts.nulls_first:
+        sentinel = valid_u  # null=0 sorts first ascending
+    else:
+        sentinel = jnp.uint32(1) - valid_u  # null=1 sorts last
+    return [sentinel] + value_planes
+
+
+def encode_columns(
+    columns: Sequence[col.Column], options: Sequence[SortOptions] | None = None
+) -> List[jax.Array]:
+    """Multi-column key material (reference RowConverter::convert_columns,
+    lib.rs:1004): planes of column 0 are most significant."""
+    if options is None:
+        options = [SortOptions()] * len(columns)
+    planes: List[jax.Array] = []
+    for c, o in zip(columns, options):
+        planes.extend(encode_column(c, o))
+    return planes
+
+
+def padding_plane(capacity: int, length) -> jax.Array:
+    """Most-significant plane forcing padding rows to sort last."""
+    return (~bm.row_mask_bool(capacity, length)).astype(_U32)

@@ -1,0 +1,173 @@
+"""M4 hash plane tests: group-by aggregation and hash join.
+
+These components are new relative to the reference (arrow-rs has no
+group-by/join — they live downstream in DataFusion; BASELINE configs 4-5
+make them first-class).  Validated against pandas groupby/merge as the
+CPU oracle."""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+import arrowtpu as at
+from arrowtpu import ops
+from arrowtpu.ops import groupby as gb
+from arrowtpu.ops import join as jn
+
+
+def rand_ints(rng, n, null_density=0.0, lo=0, hi=10):
+    return [
+        None if rng.random() < null_density else int(v)
+        for v in rng.integers(lo, hi, n)
+    ]
+
+
+def sorted_records(d):
+    keys = list(d.keys())
+    rows = list(zip(*[d[k] for k in keys]))
+    return sorted(rows, key=lambda r: tuple((x is None, x) for x in r))
+
+
+class TestGroupBy:
+    @pytest.mark.parametrize("cardinality", [3, 100])
+    def test_sum_count_min_vs_pandas(self, rng, cardinality):
+        n = 500
+        keys = rand_ints(rng, n, lo=0, hi=cardinality)
+        vals = rand_ints(rng, n, null_density=0.2, lo=-100, hi=100)
+        batch = at.record_batch({"k": keys, "v": vals})
+        out = gb.group_by(batch, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
+        got = out.to_pydict()
+
+        df = pd.DataFrame({"k": keys, "v": pd.array(vals, dtype="Int64")})
+        exp = df.groupby("k", dropna=False).agg(
+            sum_v=("v", lambda s: s.sum(min_count=1)),
+            count_v=("v", "count"),
+            min_v=("v", "min"),
+        ).reset_index()
+        expect = {
+            "k": exp["k"].tolist(),
+            "sum_v": [None if pd.isna(x) else int(x) for x in exp["sum_v"]],
+            "count_v": exp["count_v"].astype(int).tolist(),
+            "min_v": [None if pd.isna(x) else int(x) for x in exp["min_v"]],
+        }
+        assert sorted_records(got) == sorted_records(expect)
+
+    def test_null_keys_form_group(self, rng):
+        keys = [1, None, 1, None, 2]
+        vals = [10, 20, 30, 40, 50]
+        out = gb.group_by(
+            at.record_batch({"k": keys, "v": vals}), ["k"], [("v", "sum")]
+        )
+        got = dict(zip(out.to_pydict()["k"], out.to_pydict()["sum_v"]))
+        assert got == {1: 40, None: 60, 2: 50}
+
+    def test_multi_key(self, rng):
+        n = 300
+        a = rand_ints(rng, n, lo=0, hi=4)
+        b = rand_ints(rng, n, lo=0, hi=4)
+        v = rand_ints(rng, n, lo=0, hi=100)
+        out = gb.group_by(
+            at.record_batch({"a": a, "b": b, "v": v}), ["a", "b"],
+            [("v", "sum"), ("v", "max")]
+        )
+        df = pd.DataFrame({"a": a, "b": b, "v": v})
+        exp = df.groupby(["a", "b"]).agg(sum_v=("v", "sum"), max_v=("v", "max")).reset_index()
+        expect = {
+            "a": exp["a"].tolist(), "b": exp["b"].tolist(),
+            "sum_v": exp["sum_v"].tolist(), "max_v": exp["max_v"].tolist(),
+        }
+        assert sorted_records(out.to_pydict()) == sorted_records(expect)
+
+    def test_mean_float(self, rng):
+        keys = [0, 0, 1, 1, 1]
+        vals = [1.0, 2.0, 3.0, None, 5.0]
+        out = gb.group_by(
+            at.record_batch({"k": keys, "v": vals}), ["k"], [("v", "mean")]
+        )
+        got = dict(zip(out.to_pydict()["k"], out.to_pydict()["mean_v"]))
+        assert got[0] == 1.5 and got[1] == 4.0
+
+    def test_group_by_dict_key(self):
+        keys = at.dictionary_encode_host(["x", "y", "x", None, "y", "x"])
+        vals = [1, 2, 3, 4, 5, 6]
+        out = gb.group_by(
+            at.record_batch({"k": keys, "v": vals}), ["k"], [("v", "sum")]
+        )
+        got = dict(zip(out.to_pydict()["k"], out.to_pydict()["sum_v"]))
+        assert got == {"x": 10, "y": 7, None: 4}
+
+
+class TestHashJoin:
+    def test_inner_pk_join_vs_pandas(self, rng):
+        nl, nr = 400, 100
+        lk = rand_ints(rng, nl, lo=0, hi=150)  # some keys miss
+        lv = rand_ints(rng, nl, lo=0, hi=1000)
+        rk = list(range(nr))  # unique build keys
+        rv = rand_ints(rng, nr, lo=0, hi=1000)
+        left = at.record_batch({"k": lk, "lv": lv})
+        right = at.record_batch({"k": rk, "rv": rv})
+        out, dup = jn.hash_join(left, right, ["k"])
+        assert not bool(dup)
+        dl = pd.DataFrame({"k": lk, "lv": lv})
+        dr = pd.DataFrame({"k": rk, "rv": rv})
+        exp = dl.merge(dr, on="k", how="inner")
+        got = out.to_pydict()
+        assert sorted_records(got) == sorted_records(
+            {"k": exp["k"].tolist(), "lv": exp["lv"].tolist(), "rv": exp["rv"].tolist()}
+        )
+
+    def test_left_join_nulls(self, rng):
+        left = at.record_batch({"k": [1, 2, 9, None], "lv": [10, 20, 30, 40]})
+        right = at.record_batch({"k": [1, 2, 3], "rv": [100, 200, 300]})
+        out, dup = jn.hash_join(left, right, ["k"], how="left")
+        assert not bool(dup)
+        assert out.to_pydict() == {
+            "k": [1, 2, 9, None],
+            "lv": [10, 20, 30, 40],
+            "rv": [100, 200, None, None],  # no match and NULL-key -> null
+        }
+
+    def test_semi_anti(self, rng):
+        left = at.record_batch({"k": [1, 2, 3, 4, None]})
+        right = at.record_batch({"k": [2, 4, 5]})
+        semi, _ = jn.hash_join(left, right, ["k"], how="semi")
+        anti, _ = jn.hash_join(left, right, ["k"], how="anti")
+        assert semi.to_pydict() == {"k": [2, 4]}
+        assert anti.to_pydict() == {"k": [1, 3, None]}  # NULL never matches
+
+    def test_duplicate_build_keys_flagged(self):
+        left = at.record_batch({"k": [1]})
+        right = at.record_batch({"k": [1, 1], "rv": [5, 6]})
+        out, dup = jn.hash_join(left, right, ["k"])
+        assert bool(dup)
+
+    def test_multi_column_key(self, rng):
+        left = at.record_batch({"a": [1, 1, 2, 2], "b": [1, 2, 1, 2], "lv": [1, 2, 3, 4]})
+        right = at.record_batch({"a": [1, 2], "b": [2, 1], "rv": [10, 20]})
+        out, dup = jn.hash_join(left, right, ["a", "b"])
+        assert not bool(dup)
+        assert sorted_records(out.to_pydict()) == sorted_records(
+            {"a": [1, 2], "b": [2, 1], "lv": [2, 3], "rv": [10, 20]}
+        )
+
+    def test_join_under_jit(self, rng):
+        """Whole join pipeline inside one jit."""
+        nl, nr = 300, 64
+        lk = rand_ints(rng, nl, lo=0, hi=100)
+        rk = list(range(nr))
+        rv = rand_ints(rng, nr, lo=0, hi=50)
+        left = at.record_batch({"k": lk})
+        right = at.record_batch({"k": rk, "rv": rv})
+
+        @jax.jit
+        def run(l, r):
+            return jn.hash_join(l, r, ["k"])
+
+        out, dup = run(left, right)
+        exp = pd.DataFrame({"k": lk}).merge(
+            pd.DataFrame({"k": rk, "rv": rv}), on="k", how="inner"
+        )
+        assert sorted_records(out.to_pydict()) == sorted_records(
+            {"k": exp["k"].tolist(), "rv": exp["rv"].tolist()}
+        )
