@@ -111,9 +111,13 @@ def _register(cls, data_fields, meta_fields):
 @dataclasses.dataclass(frozen=True)
 class PrimitiveColumn(Column):
     """Fixed-width values (reference PrimitiveArray<T>,
-    arrow-array/src/array/primitive_array.rs)."""
+    arrow-array/src/array/primitive_array.rs).
 
-    values: Array  # (capacity,) of dtype.to_jnp()
+    Physical layout: narrow types are a (capacity,) array of the native
+    dtype; 64-bit logical types (Int64/UInt64/Float64/Timestamp/...) are a
+    (capacity, 2) uint32 limb array [lo, hi] — see core/wide.py."""
+
+    values: Array  # (capacity,) native or (capacity, 2) uint32 limbs
     validity: Optional[Array]  # packed uint32 (capacity/32,) or None
     length: Array  # traced int32 scalar
     dtype: st.DataType
@@ -122,9 +126,21 @@ class PrimitiveColumn(Column):
     def capacity(self) -> int:
         return self.values.shape[0]
 
+    @property
+    def wide(self):
+        """None, or "i64"/"u64"/"f64" for limb-pair storage."""
+        return st.wide_kind(self.dtype)
+
     def to_pylist(self):
+        from . import wide as wd
+
         n = self.concrete_length()
-        vals = np.asarray(self.values)[:n]
+        kind = self.wide
+        if kind is not None:
+            npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
+            vals = wd.join_numpy(np.asarray(self.values)[:n], npdt)
+        else:
+            vals = np.asarray(self.values)[:n]
         if self.validity is None:
             return vals.tolist()
         valid = bm.to_numpy_bools(self.validity, n)
@@ -295,10 +311,46 @@ class NullColumn(Column):
 def primitive(values, dtype: st.DataType = None, validity=None, length=None,
               capacity: int = None) -> PrimitiveColumn:
     """Build a PrimitiveColumn from a device/host array, padding to the
-    capacity granule. `validity` may be packed words, a bool array, or None."""
-    values = jnp.asarray(values)
+    capacity granule. `validity` may be packed words, a bool array, or None.
+
+    64-bit logical types accept: a host numpy int64/uint64/float64 array
+    (split exactly into limbs), or an already-split (n, 2) uint32 array."""
+    from . import wide as wd
+
     if dtype is None:
-        dtype = st.from_jnp(values.dtype)
+        probe = np.asarray(values) if not isinstance(values, jax.Array) else values
+        dtype = st.from_jnp(probe.dtype)
+    kind = st.wide_kind(dtype)
+    if kind is not None:
+        if isinstance(values, jax.Array):
+            if values.ndim == 2 and values.shape[-1] == 2:
+                values = values.astype(jnp.uint32)
+            else:
+                raise st.InvalidArgumentError(
+                    "wide column from device array must be (n, 2) uint32 "
+                    "limbs; split 64-bit host data with numpy first"
+                )
+        else:
+            npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
+            values = jnp.asarray(wd.split_numpy(np.asarray(values).astype(npdt)))
+        n = values.shape[0]
+        cap = round_up(max(n, 1) if capacity is None else capacity)
+        if cap < n:
+            raise st.InvalidArgumentError(f"capacity {cap} < data length {n}")
+        if cap != n:
+            values = jnp.pad(values, ((0, cap - n), (0, 0)))
+        if validity is not None:
+            validity = jnp.asarray(validity)
+            if validity.dtype == jnp.bool_:
+                if validity.shape[0] != cap:
+                    validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+                validity = bm.pack(validity)
+            assert validity.shape[0] == bm.num_words(cap)
+        return PrimitiveColumn(
+            values, validity, _as_length(n if length is None else length, cap), dtype
+        )
+
+    values = jnp.asarray(values)
     jdt = dtype.to_jnp()
     values = values.astype(jdt)
     n = values.shape[0]

@@ -1,0 +1,460 @@
+"""64-bit values as uint32 limb pairs: the TPU-native wide-type layer.
+
+Why: this TPU's XLA path emulates 64-bit element types (X64 rewriting).
+Measured on-chip: s64 streams at ~137 GB/s vs ~640 GB/s for u32 — a 4.7x
+movement penalty — s64 `bitcast_convert_type` doesn't compile at all, and
+f64 storage/compute silently degrade to double-f32 (~48-bit mantissa).
+The reference assumes native 64-bit throughout (arrow-rs on x86; e.g.
+Int64 PrimitiveArray, arrow-buffer ScalarBuffer<i64>).  The TPU-native
+answer: a logical 64-bit column stores values as a (capacity, 2) uint32
+array [lo, hi].  Movement ops (filter/take/concat/exchange) touch native
+u32 lanes at full bandwidth; comparisons/sort keys/hashes derive exactly
+from the limbs; arithmetic is explicit carry math on the VPU.
+
+Float64 columns store exact IEEE754 bit patterns in the limbs, so
+ordering, equality, grouping, joining and movement are bit-exact; only
+float *arithmetic* (add/mul/... and sums) bridges through the platform's
+emulated float64 (exact on CPU; ~2^-48 relative error on this TPU),
+which is documented at the kernels.
+
+All functions are elementwise on (..., 2) uint32 arrays and fuse in XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# host <-> limb conversion (numpy, exact)
+# ---------------------------------------------------------------------------
+
+
+def split_numpy(arr: np.ndarray) -> np.ndarray:
+    """numpy int64/uint64/float64 -> (..., 2) uint32 [lo, hi]."""
+    if arr.dtype == np.float64:
+        bits = arr.view(np.uint64)
+    elif arr.dtype == np.int64:
+        bits = arr.view(np.uint64)
+    elif arr.dtype == np.uint64:
+        bits = arr
+    else:
+        raise TypeError(f"split_numpy: bad dtype {arr.dtype}")
+    lo = (bits & _MASK32).astype(np.uint32)
+    hi = (bits >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=-1)
+
+
+def join_numpy(limbs: np.ndarray, dtype) -> np.ndarray:
+    """(..., 2) uint32 -> numpy int64/uint64/float64."""
+    lo = limbs[..., 0].astype(np.uint64)
+    hi = limbs[..., 1].astype(np.uint64)
+    bits = lo | (hi << np.uint64(32))
+    return bits.view(np.dtype(dtype).newbyteorder("="))  # reinterpret
+
+
+# ---------------------------------------------------------------------------
+# limb accessors
+# ---------------------------------------------------------------------------
+
+
+def lo(x):
+    return x[..., 0]
+
+
+def hi(x):
+    return x[..., 1]
+
+
+def make(lo_, hi_):
+    return jnp.stack([lo_.astype(U32), hi_.astype(U32)], axis=-1)
+
+
+def zeros(shape) -> jax.Array:
+    return jnp.zeros(tuple(shape) + (2,), dtype=U32)
+
+
+def from_scalar(v: int) -> np.ndarray:
+    return split_numpy(np.array(v, dtype=np.int64).reshape(()))
+
+
+# ---------------------------------------------------------------------------
+# integer arithmetic (wrapping, two's complement in limbs)
+# ---------------------------------------------------------------------------
+
+
+def add(a, b):
+    l = lo(a) + lo(b)
+    carry = (l < lo(a)).astype(U32)
+    h = hi(a) + hi(b) + carry
+    return make(l, h)
+
+
+def sub(a, b):
+    l = lo(a) - lo(b)
+    borrow = (lo(a) < lo(b)).astype(U32)
+    h = hi(a) - hi(b) - borrow
+    return make(l, h)
+
+
+def neg(a):
+    l = ~lo(a) + U32(1)
+    carry = (lo(a) == 0).astype(U32)  # ~x+1 carries into hi iff lo == 0
+    h = ~hi(a) + carry
+    return make(l, h)
+
+
+def _mul32x32(a32, b32) -> Tuple[jax.Array, jax.Array]:
+    """Full 64-bit product of two uint32 vectors via 16-bit partials."""
+    a0 = a32 & U32(0xFFFF)
+    a1 = a32 >> 16
+    b0 = b32 & U32(0xFFFF)
+    b1 = b32 >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 16) + (p01 & U32(0xFFFF)) + (p10 & U32(0xFFFF))
+    lo_ = (p00 & U32(0xFFFF)) | (mid << 16)
+    hi_ = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return lo_, hi_
+
+
+def mul(a, b):
+    """Wrapping 64-bit multiply."""
+    l, c = _mul32x32(lo(a), lo(b))
+    h = c + hi(a) * lo(b) + lo(a) * hi(b)
+    return make(l, h)
+
+
+def and_(a, b):
+    return make(lo(a) & lo(b), hi(a) & hi(b))
+
+
+def or_(a, b):
+    return make(lo(a) | lo(b), hi(a) | hi(b))
+
+
+def xor(a, b):
+    return make(lo(a) ^ lo(b), hi(a) ^ hi(b))
+
+
+def not_(a):
+    return make(~lo(a), ~hi(a))
+
+
+def shl(a, k):
+    """Shift left by per-element amount k (0..63)."""
+    k = k.astype(U32) & U32(63)
+    small = k < 32
+    ks = jnp.where(small, k, k - 32)
+    l1 = jnp.where(small & (ks > 0), lo(a) << ks, jnp.where(small, lo(a), U32(0)))
+    spill = jnp.where(small & (ks > 0), lo(a) >> (U32(32) - ks), U32(0))
+    h1 = jnp.where(
+        small,
+        jnp.where(ks > 0, (hi(a) << ks) | spill, hi(a)),
+        lo(a) << ks,
+    )
+    return make(l1, h1)
+
+
+def shr(a, k):
+    """Logical shift right by per-element amount k (0..63)."""
+    k = k.astype(U32) & U32(63)
+    small = k < 32
+    ks = jnp.where(small, k, k - 32)
+    spill = jnp.where(small & (ks > 0), hi(a) << (U32(32) - ks), U32(0))
+    l1 = jnp.where(
+        small,
+        jnp.where(ks > 0, (lo(a) >> ks) | spill, lo(a)),
+        hi(a) >> ks,
+    )
+    h1 = jnp.where(small, jnp.where(ks > 0, hi(a) >> ks, hi(a)), U32(0))
+    return make(l1, h1)
+
+
+def sar(a, k):
+    """Arithmetic shift right by per-element amount k (0..63)."""
+    logical = shr(a, k)
+    neg = is_negative(a)
+    # fill vacated high bits with ones for negative values
+    k = k.astype(U32) & U32(63)
+    ones = not_(zeros(lo(a).shape))
+    fill = jnp.where((k > 0)[..., None], not_(shr(ones, k)), zeros(lo(a).shape))
+    return jnp.where(neg[..., None], or_(logical, fill), logical)
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+# ---------------------------------------------------------------------------
+
+
+def eq(a, b):
+    return (lo(a) == lo(b)) & (hi(a) == hi(b))
+
+
+def lt_unsigned(a, b):
+    return (hi(a) < hi(b)) | ((hi(a) == hi(b)) & (lo(a) < lo(b)))
+
+
+def lt_signed(a, b):
+    fa = hi(a) ^ U32(0x80000000)
+    fb = hi(b) ^ U32(0x80000000)
+    return (fa < fb) | ((fa == fb) & (lo(a) < lo(b)))
+
+
+def is_negative(a):
+    return (hi(a) >> 31) != 0
+
+
+# ---------------------------------------------------------------------------
+# division (signed/unsigned truncating, exact; 64-round shift-subtract)
+# ---------------------------------------------------------------------------
+
+
+def _divmod_unsigned(a, b):
+    """Unsigned 64/64 -> (quotient, remainder).  b == 0 yields q=0, r=a."""
+    shape = lo(a).shape
+
+    def body(i, state):
+        q, r = state
+        bit = U32(63) - jnp.asarray(i, U32)
+        # r = (r << 1) | bit_of(a, 63 - i)
+        abit = lo(shr(a, jnp.broadcast_to(bit, shape))) & U32(1)
+        r = add(shl(r, jnp.broadcast_to(U32(1), shape)), make(abit, jnp.zeros_like(abit)))
+        ge = ~lt_unsigned(r, b) & ~_is_zero(b)
+        r = jnp.where(ge[..., None], sub(r, b), r)
+        qbit = shl(make(ge.astype(U32), jnp.zeros_like(ge, U32)),
+                   jnp.broadcast_to(bit, shape))
+        q = or_(q, qbit)
+        return q, r
+
+    q0 = zeros(shape)
+    r0 = zeros(shape)
+    q, r = jax.lax.fori_loop(0, 64, body, (q0, r0))
+    return q, r
+
+
+def _is_zero(a):
+    return (lo(a) == 0) & (hi(a) == 0)
+
+
+def divmod_signed(a, b):
+    """C/Rust truncating signed division (matches jax.lax.div/rem on s64).
+    b == 0 yields q=0, r=0 (callers flag divide-by-zero separately)."""
+    na = is_negative(a)
+    nb = is_negative(b)
+    ua = jnp.where(na[..., None], neg(a), a)
+    ub = jnp.where(nb[..., None], neg(b), b)
+    q, r = _divmod_unsigned(ua, ub)
+    qneg = na ^ nb
+    q = jnp.where(qneg[..., None], neg(q), q)
+    r = jnp.where(na[..., None], neg(r), r)
+    zero_b = _is_zero(b)
+    q = jnp.where(zero_b[..., None], zeros(lo(a).shape), q)
+    r = jnp.where(zero_b[..., None], zeros(lo(a).shape), r)
+    return q, r
+
+
+def divmod_unsigned(a, b):
+    q, r = _divmod_unsigned(a, b)
+    zero_b = _is_zero(b)
+    q = jnp.where(zero_b[..., None], zeros(lo(a).shape), q)
+    r = jnp.where(zero_b[..., None], zeros(lo(a).shape), r)
+    return q, r
+
+
+# ---------------------------------------------------------------------------
+# widening / narrowing
+# ---------------------------------------------------------------------------
+
+
+def from_int32(x) -> jax.Array:
+    """Sign-extend int32 (or narrower signed) to limbs."""
+    xi = x.astype(jnp.int32)
+    lo_ = xi.astype(U32)
+    hi_ = jnp.where(xi < 0, U32(0xFFFFFFFF), U32(0))
+    return make(lo_, hi_)
+
+
+def from_uint32(x) -> jax.Array:
+    return make(x.astype(U32), jnp.zeros_like(x, U32))
+
+
+def to_int32_wrap(a):
+    return lo(a).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# float64 bit helpers (exact, integer-only)
+# ---------------------------------------------------------------------------
+
+
+def f64_is_nan(a):
+    e = (hi(a) >> 20) & U32(0x7FF)
+    frac_nonzero = ((hi(a) & U32(0xFFFFF)) != 0) | (lo(a) != 0)
+    return (e == U32(0x7FF)) & frac_nonzero
+
+
+def f64_is_zero(a):
+    return ((hi(a) & U32(0x7FFFFFFF)) == 0) & (lo(a) == 0)
+
+
+def f64_total_order_planes(a):
+    """Rust total_cmp transform (reference arrow-row/src/fixed.rs:118-149):
+    negative -> flip all bits; non-negative -> flip sign bit.  Returns
+    (hi_plane, lo_plane) uint32, lexicographic-ascending == total order."""
+    negative = (hi(a) >> 31) != 0
+    mask_hi = jnp.where(negative, U32(0xFFFFFFFF), U32(0x80000000))
+    mask_lo = jnp.where(negative, U32(0xFFFFFFFF), U32(0))
+    return hi(a) ^ mask_hi, lo(a) ^ mask_lo
+
+
+def f64_ieee_eq(a, b):
+    """IEEE ==: NaN != anything, -0 == +0."""
+    bits_eq = eq(a, b)
+    both_zero = f64_is_zero(a) & f64_is_zero(b)
+    return (bits_eq | both_zero) & ~f64_is_nan(a) & ~f64_is_nan(b)
+
+
+def f64_ieee_lt(a, b):
+    ka_hi, ka_lo = f64_total_order_planes(a)
+    kb_hi, kb_lo = f64_total_order_planes(b)
+    lt = (ka_hi < kb_hi) | ((ka_hi == kb_hi) & (ka_lo < kb_lo))
+    both_zero = f64_is_zero(a) & f64_is_zero(b)
+    return lt & ~both_zero & ~f64_is_nan(a) & ~f64_is_nan(b)
+
+
+def _pow2(e) -> jax.Array:
+    """Exact float64 2**e for integer e in [-537, 537]: product of exact
+    power-of-two constants selected by e's bits (jnp.exp2 is exp(x ln2) in
+    XLA and NOT exact — unusable for bit manipulation)."""
+    neg_e = e < 0
+    mag = jnp.where(neg_e, -e, e).astype(jnp.int32)
+    out = jnp.ones(e.shape, jnp.float64)
+    for j in range(10):  # bits up to 2^9 = 512 cover |e| <= 1023
+        p = float(2.0 ** (2**j))
+        factor = jnp.where(neg_e, jnp.float64(1.0 / p), jnp.float64(p))
+        bit = ((mag >> j) & 1) == 1
+        out = out * jnp.where(bit, factor, jnp.float64(1.0))
+    return out
+
+
+def _scale_pow2(x, e):
+    """x * 2**e exactly, |e| <= 1074, via two half-range steps to avoid
+    intermediate over/underflow."""
+    e1 = e // 2
+    e2 = e - e1
+    return x * _pow2(e1) * _pow2(e2)
+
+
+def f64_to_value(a) -> jax.Array:
+    """Limbs -> jnp.float64 value for arithmetic.  Exact on CPU.  On this
+    TPU the f64 type is double-f32 emulated: ~2^-48 relative precision AND
+    f32 exponent range (|x| beyond ~1e38 overflows to inf, subnormals and
+    -0 may flush) — the documented Float64 *arithmetic* precision boundary.
+    Ordering, equality, movement, grouping and joining of Float64 columns
+    never go through this path and are bit-exact everywhere."""
+    sign = jnp.where(is_negative(a), -1.0, 1.0).astype(jnp.float64)
+    e = ((hi(a) >> 20) & U32(0x7FF)).astype(jnp.int32)
+    frac_hi = (hi(a) & U32(0xFFFFF)).astype(jnp.float64)
+    frac = frac_hi * jnp.float64(2.0**32) + lo(a).astype(jnp.float64)
+    normal = e > 0
+    mant = jnp.where(normal, frac + jnp.float64(2.0**52), frac)
+    exp = jnp.where(normal, e - 1075, -1074)
+    val = sign * _scale_pow2(mant, exp)
+    is_inf = (e == 0x7FF) & (frac == 0)
+    val = jnp.where(is_inf, sign * jnp.float64(jnp.inf), val)
+    val = jnp.where(f64_is_nan(a), jnp.float64(jnp.nan), val)
+    return val
+
+
+def f64_from_value(x) -> jax.Array:
+    """jnp float64 value -> limbs.  Exact on CPU; ~2^-48 on TPU."""
+    x = x.astype(jnp.float64)
+    # arithmetic signbit: jnp.signbit bitcasts s64 (unsupported on this TPU)
+    with jax.debug_infs(False):
+        zero_sign_neg = (x < 0) | ((x == 0) & (jnp.float64(1.0) / x < 0))
+    ax = jnp.abs(x)
+    # arithmetic frexp (jnp.frexp bitcasts s64 — unsupported here): binary
+    # search the exponent with exact power-of-two scaling.  r in [1, 2).
+    r = jnp.where(ax > 0, ax, jnp.float64(1.0))
+    e = jnp.zeros(x.shape, jnp.int32)
+    for j in range(9, -1, -1):
+        p = float(2.0 ** (2**j))
+        big = r >= p
+        r = jnp.where(big, r * jnp.float64(1.0 / p), r)
+        e = e + jnp.where(big, jnp.int32(2**j), jnp.int32(0))
+        small = r < float(2.0 ** (1 - 2**j))
+        r = jnp.where(small, r * jnp.float64(p), r)
+        e = e - jnp.where(small, jnp.int32(2**j), jnp.int32(0))
+    m = r * jnp.float64(0.5)  # in [0.5, 1)
+    e = e + 1  # ax = m * 2^e
+    # normal numbers: biased exponent e + 1022, 52-bit fraction
+    frac53 = m * jnp.float64(2.0**53)  # in [2^52, 2^53)
+    frac_int_hi = jnp.floor(frac53 / jnp.float64(2.0**32))
+    frac_int_lo = frac53 - frac_int_hi * jnp.float64(2.0**32)
+    eb = (e + 1022).astype(jnp.int32)
+    # clamp: subnormals -> 0 (engine-level precision boundary), inf/nan special
+    subnormal = eb <= 0
+    hi_ = (
+        (zero_sign_neg.astype(U32) << 31)
+        | (jnp.clip(eb, 0, 0x7FE).astype(U32) << 20)
+        | (frac_int_hi.astype(U32) & U32(0xFFFFF))
+    )
+    lo_ = frac_int_lo.astype(U32)
+    is_zero = ax == 0
+    is_inf = jnp.isinf(x)
+    is_nan = jnp.isnan(x)
+    hi_ = jnp.where(is_zero | subnormal, (zero_sign_neg.astype(U32) << 31), hi_)
+    lo_ = jnp.where(is_zero | subnormal, U32(0), lo_)
+    hi_ = jnp.where(is_inf, (zero_sign_neg.astype(U32) << 31) | U32(0x7FF00000), hi_)
+    lo_ = jnp.where(is_inf, U32(0), lo_)
+    hi_ = jnp.where(is_nan, U32(0x7FF80000), hi_)
+    lo_ = jnp.where(is_nan, U32(0), lo_)
+    return make(lo_, hi_)
+
+
+# ---------------------------------------------------------------------------
+# int64 <-> float (for mean etc.)
+# ---------------------------------------------------------------------------
+
+
+def i64_to_float(a) -> jax.Array:
+    """Signed limbs -> float64 (exact on CPU for |v| < 2^53)."""
+    n = is_negative(a)
+    ua = jnp.where(n[..., None], neg(a), a)
+    v = hi(ua).astype(jnp.float64) * jnp.float64(2.0**32) + lo(ua).astype(jnp.float64)
+    return jnp.where(n, -v, v)
+
+
+def u64_to_float(a) -> jax.Array:
+    return hi(a).astype(jnp.float64) * jnp.float64(2.0**32) + lo(a).astype(jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+
+def tree_reduce(a, combine, identity_limbs):
+    """Reduce (n, 2) limbs along axis 0 with a binary limb combine fn.
+    n must be a power of two times 1 (we pad internally)."""
+    n = a.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = jnp.broadcast_to(jnp.asarray(identity_limbs, U32), (m - n, 2))
+        a = jnp.concatenate([a, pad], axis=0)
+    while a.shape[0] > 1:
+        half = a.shape[0] // 2
+        a = combine(a[:half], a[half:])
+    return a[0]

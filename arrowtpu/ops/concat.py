@@ -166,8 +166,15 @@ def interleave(columns: Sequence[col.Column], src_idx: col.PrimitiveColumn,
     caps = [c.capacity for c in columns]
     offsets = jnp.asarray(np.concatenate([[0], np.cumsum(caps)[:-1]]), jnp.int32)
 
+    def _as_i32(ix: col.PrimitiveColumn):
+        if ix.wide is not None:
+            from ..core import wide as wd
+
+            return wd.lo(ix.values).astype(jnp.int32)
+        return ix.values.astype(jnp.int32)
+
     stacked = _stack_slabs(columns)
-    flat = offsets[src_idx.values.astype(jnp.int32)] + row_idx.values.astype(jnp.int32)
+    flat = offsets[_as_i32(src_idx)] + _as_i32(row_idx)
     # an index row is valid iff both parts valid
     validity = bm.union(src_idx.validity, row_idx.validity)
     flat_col = col.PrimitiveColumn(

@@ -12,24 +12,41 @@ sort output — and the aggregates are segment reductions over the sorted
 values.  Null keys form their own group (SQL GROUP BY semantics); null
 values are skipped by every aggregate (arity contract).  Output has the
 input's capacity with traced group-count length.
+
+64-bit value columns aggregate exactly on their uint32 limb pairs via an
+inclusive *segmented scan* (associative_scan with a segment-reset
+combine): sums are exact wrapping 64-bit adds, min/max compare
+total-order planes — no 64-bit element types touch the device.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import dataclasses
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import schema as st
-from ..config import SortOptions
 from ..core import batch as bt
 from ..core import bitmap as bm
 from ..core import column as col
+from ..core import wide as wd
 from ..rowformat import encode as rf
 from .take import take
 
 AGGS = ("sum", "count", "min", "max", "mean")
+
+
+@dataclasses.dataclass
+class _Ctx:
+    idx: jax.Array  # sorted row order
+    seg_id_safe: jax.Array  # per sorted row; cap for padding
+    boundary: jax.Array  # per sorted row: starts a new group
+    live: jax.Array  # per sorted row: is a real row
+    cap: int
+    num_groups: jax.Array
 
 
 def group_by(batch: bt.RecordBatch, keys: Sequence[str],
@@ -48,7 +65,7 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
     idx = sorted_ops[-1]
     sorted_planes = sorted_ops[1 : 1 + len(planes)]
 
-    live = bm.row_mask_bool(cap, length)  # in sorted order live rows lead
+    live = jnp.arange(cap, dtype=jnp.int32) < jnp.int32(length)  # sorted: live first
     boundary = jnp.zeros(cap, dtype=jnp.bool_)
     for p in sorted_planes:
         boundary = boundary | jnp.concatenate([jnp.array([True]), p[1:] != p[:-1]])
@@ -56,6 +73,8 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
     seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     num_groups = jnp.where(jnp.int32(length) > 0, seg_id[-1] + 1, 0)
     seg_id_safe = jnp.where(live, seg_id, cap)  # padding -> dropped segment
+
+    ctx = _Ctx(idx, seg_id_safe, boundary, live, cap, num_groups)
 
     # representative source row per group (first row of each segment)
     first_pos = jnp.where(boundary, seg_id, cap)
@@ -71,41 +90,137 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
     for name, agg in aggs:
         if agg not in AGGS:
             raise st.ComputeError(f"unknown aggregate {agg!r}")
-        c = batch[name]
-        agg_col = _segment_agg(c, idx, seg_id_safe, cap, num_groups, agg)
+        agg_col = _segment_agg(batch[name], ctx, agg)
         out_fields.append(st.Field(f"{agg}_{name}", agg_col.dtype))
         out_cols.append(agg_col)
 
     return bt.RecordBatch(st.Schema(tuple(out_fields)), tuple(out_cols))
 
 
-def _segment_agg(c: col.Column, idx, seg_id_safe, cap: int, num_groups, agg: str):
+def _segmented_scan_to_groups(ctx: _Ctx, sorted_vals, combine, is_limb: bool):
+    """Inclusive segmented scan over sorted rows, then gather each
+    segment's final (= aggregated) value into its group slot."""
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        f = fa | fb
+        sel = fb[..., None] if is_limb else fb
+        return f, jnp.where(sel, vb, combine(va, vb))
+
+    _, scanned = jax.lax.associative_scan(op, (ctx.boundary, sorted_vals), axis=0)
+    pos_ids = jnp.arange(ctx.cap, dtype=jnp.int32)
+    n_live = jnp.sum(ctx.live.astype(jnp.int32))
+    is_last = (
+        jnp.concatenate([ctx.boundary[1:], jnp.array([True])])
+        | (pos_ids == n_live - 1)  # final live row ends the last segment
+    ) & ctx.live
+    pos = jnp.where(is_last, ctx.seg_id_safe, ctx.cap)
+    out_shape = (ctx.cap, 2) if is_limb else (ctx.cap,)
+    out = jnp.zeros(out_shape, scanned.dtype).at[pos].set(scanned, mode="drop")
+    return out
+
+
+def _segment_agg(c: col.Column, ctx: _Ctx, agg: str) -> col.Column:
+    cap, num_groups = ctx.cap, ctx.num_groups
+    wide_kind = c.wide if isinstance(c, col.PrimitiveColumn) else None
+
+    ok_sorted = c.valid_bool()[ctx.idx]
+    cnt = jax.ops.segment_sum(
+        ok_sorted.astype(jnp.int32), ctx.seg_id_safe, cap
+    )
+    has = cnt > 0
+    has_v = bm.pack(has)
+
+    if agg == "count":
+        return col.PrimitiveColumn(wd.from_int32(cnt), None, num_groups, st.int64)
+
     if isinstance(c, col.BooleanColumn):
-        vals = c.values_bool().astype(jnp.int64)
+        vals = c.values_bool().astype(jnp.int32)
+        wide_kind = None
     elif isinstance(c, col.PrimitiveColumn):
         vals = c.values
     else:
         raise st.ComputeError(f"aggregate on {type(c).__name__} unsupported")
-    vals_sorted = vals[idx]
-    ok_sorted = c.valid_bool()[idx]
-    nseg = cap  # static bound on group count
 
-    cnt = jax.ops.segment_sum(ok_sorted.astype(jnp.int64), seg_id_safe, nseg)
-    has = cnt > 0
+    vals_sorted = vals[ctx.idx]
 
-    if agg == "count":
-        return col.PrimitiveColumn(cnt, None, num_groups, st.int64)
+    if wide_kind is None:
+        return _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v)
 
-    if agg == "sum" or agg == "mean":
+    # ---- wide (64-bit limb) paths --------------------------------------
+    if agg in ("sum", "mean"):
+        if wide_kind == "f64":
+            v = wd.f64_to_value(vals_sorted)
+            z = jnp.where(ok_sorted, v, 0.0)
+            s = jax.ops.segment_sum(z, ctx.seg_id_safe, cap)
+            if agg == "mean":
+                mean = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+                return col.PrimitiveColumn(
+                    wd.f64_from_value(mean), has_v, num_groups, st.float64
+                )
+            return col.PrimitiveColumn(
+                wd.f64_from_value(s), has_v, num_groups, st.float64
+            )
+        masked = jnp.where(ok_sorted[..., None], vals_sorted,
+                           jnp.zeros_like(vals_sorted))
+        s = _segmented_scan_to_groups(ctx, masked, wd.add, is_limb=True)
+        if agg == "mean":
+            fv = (wd.i64_to_float(s) if wide_kind == "i64" else wd.u64_to_float(s))
+            mean = fv / jnp.maximum(cnt, 1).astype(jnp.float64)
+            return col.PrimitiveColumn(
+                wd.f64_from_value(mean), has_v, num_groups, st.float64
+            )
+        return col.PrimitiveColumn(s, has_v, num_groups, c.dtype)
+
+    if agg in ("min", "max"):
+        is_min = agg == "min"
+        # transform to unsigned-sortable limbs
+        if wide_kind == "f64":
+            ph, pl = wd.f64_total_order_planes(vals_sorted)
+            key = wd.make(pl, ph)
+        elif wide_kind == "i64":
+            key = wd.make(wd.lo(vals_sorted),
+                          wd.hi(vals_sorted) ^ wd.U32(0x80000000))
+        else:
+            key = vals_sorted
+        ident_np = wd.split_numpy(
+            np.array(np.iinfo(np.uint64).max if is_min else 0, np.uint64).reshape(())
+        )
+        identb = jnp.asarray(ident_np, wd.U32)
+        masked = jnp.where(ok_sorted[..., None], key,
+                           jnp.broadcast_to(identb, key.shape))
+        if is_min:
+            combine = lambda x, y: jnp.where(wd.lt_unsigned(x, y)[..., None], x, y)
+        else:
+            combine = lambda x, y: jnp.where(wd.lt_unsigned(x, y)[..., None], y, x)
+        best = _segmented_scan_to_groups(ctx, masked, combine, is_limb=True)
+        # untransform
+        if wide_kind == "f64":
+            ph, pl = wd.hi(best), wd.lo(best)
+            was_negative = (ph >> 31) == 0
+            mask_hi = jnp.where(was_negative, wd.U32(0xFFFFFFFF), wd.U32(0x80000000))
+            mask_lo = jnp.where(was_negative, wd.U32(0xFFFFFFFF), wd.U32(0))
+            best = wd.make(pl ^ mask_lo, ph ^ mask_hi)
+        elif wide_kind == "i64":
+            best = wd.make(wd.lo(best), wd.hi(best) ^ wd.U32(0x80000000))
+        best = jnp.where(has[..., None], best, jnp.zeros_like(best))
+        return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
+
+    raise st.ComputeError(f"unknown aggregate {agg!r}")
+
+
+def _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):
+    cap, num_groups = ctx.cap, ctx.num_groups
+    if agg in ("sum", "mean"):
         z = jnp.where(ok_sorted, vals_sorted, jnp.zeros_like(vals_sorted))
-        s = jax.ops.segment_sum(z, seg_id_safe, nseg)
+        s = jax.ops.segment_sum(z, ctx.seg_id_safe, cap)
         if agg == "sum":
-            validity = bm.pack(has)
-            dt = st.from_jnp(s.dtype)
-            return col.PrimitiveColumn(s, validity, num_groups, dt)
+            return col.PrimitiveColumn(s, has_v, num_groups, st.from_jnp(s.dtype))
         mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1).astype(jnp.float64)
-        return col.PrimitiveColumn(mean, bm.pack(has), num_groups, st.float64)
-
+        return col.PrimitiveColumn(
+            wd.f64_from_value(mean), has_v, num_groups, st.float64
+        )
     if agg in ("min", "max"):
         if jnp.issubdtype(vals_sorted.dtype, jnp.floating):
             ident = jnp.array(jnp.inf if agg == "min" else -jnp.inf, vals_sorted.dtype)
@@ -114,9 +229,7 @@ def _segment_agg(c: col.Column, idx, seg_id_safe, cap: int, num_groups, agg: str
             ident = jnp.array(info.max if agg == "min" else info.min, vals_sorted.dtype)
         z = jnp.where(ok_sorted, vals_sorted, ident)
         fn = jax.ops.segment_min if agg == "min" else jax.ops.segment_max
-        r = fn(z, seg_id_safe, nseg)
-        # empty segments come back as +/-inf or int extremes -> null them
+        r = fn(z, ctx.seg_id_safe, cap)
         r = jnp.where(has, r, jnp.zeros_like(r))
-        return col.PrimitiveColumn(r, bm.pack(has), num_groups, st.from_jnp(r.dtype))
-
+        return col.PrimitiveColumn(r, has_v, num_groups, st.from_jnp(r.dtype))
     raise st.ComputeError(f"unknown aggregate {agg!r}")

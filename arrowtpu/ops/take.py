@@ -36,13 +36,22 @@ def take(c: col.Column, indices: col.PrimitiveColumn,
          options: TakeOptions = TakeOptions()):
     """reference take.rs:89.  Returns column with indices.length rows.
     If options.check_bounds, returns (column, oob_flag)."""
-    if not isinstance(indices, col.PrimitiveColumn) or not jnp.issubdtype(
-        indices.values.dtype, jnp.integer
+    if not isinstance(indices, col.PrimitiveColumn) or not (
+        indices.wide in ("i64", "u64")
+        or jnp.issubdtype(indices.values.dtype, jnp.integer)
     ):
         raise st.ComputeError("take: indices must be an integer column")
-    idx_raw = indices.values.astype(jnp.int32)
     live = bm.row_mask_bool(indices.capacity, indices.length)
-    in_bounds = (idx_raw >= 0) & (idx_raw < jnp.int32(c.length))
+    if indices.wide is not None:
+        from ..core import wide as wd
+
+        lo_w, hi_w = wd.lo(indices.values), wd.hi(indices.values)
+        idx_raw = lo_w.astype(jnp.int32)
+        # valid 64-bit index: hi limb zero and lo within [0, length)
+        in_bounds = (hi_w == 0) & (idx_raw >= 0) & (idx_raw < jnp.int32(c.length))
+    else:
+        idx_raw = indices.values.astype(jnp.int32)
+        in_bounds = (idx_raw >= 0) & (idx_raw < jnp.int32(c.length))
     idx_ok = in_bounds & live
     if indices.validity is not None:
         idx_ok = idx_ok & bm.unpack(indices.validity)

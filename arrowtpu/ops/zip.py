@@ -20,15 +20,28 @@ from ..core import column as col
 
 def zip_(mask: col.BooleanColumn, truthy, falsy) -> col.Column:
     """mask row true -> truthy row, false -> falsy, null mask -> null."""
+    import numpy as np
+
+    from ..core import wide as wd
+
     t_col = isinstance(truthy, col.Column)
     f_col = isinstance(falsy, col.Column)
     base = truthy if t_col else falsy
     if not (t_col or f_col):
         raise st.ComputeError("zip: need at least one column")
     m = mask.values_bool()
-    tv = truthy.values if t_col else jnp.asarray(truthy)
-    fv = falsy.values if f_col else jnp.asarray(falsy)
-    values = jnp.where(m, tv, fv)
+    kind = base.wide if isinstance(base, col.PrimitiveColumn) else None
+
+    def operand(x):
+        if isinstance(x, col.Column):
+            return x.values
+        if kind is not None:
+            npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
+            return jnp.asarray(wd.split_numpy(np.asarray(x, npdt).reshape(1)))[0]
+        return jnp.asarray(x)
+
+    tv, fv = operand(truthy), operand(falsy)
+    values = jnp.where(m[..., None] if kind is not None else m, tv, fv)
     t_ok = bm.unpack(truthy.validity) if (t_col and truthy.validity is not None) else None
     f_ok = bm.unpack(falsy.validity) if (f_col and falsy.validity is not None) else None
     picked_ok = None
@@ -40,9 +53,8 @@ def zip_(mask: col.BooleanColumn, truthy, falsy) -> col.Column:
         mv = bm.unpack(mask.validity)
         picked_ok = mv if picked_ok is None else (picked_ok & mv)
     validity = bm.pack(picked_ok) if picked_ok is not None else None
-    return col.PrimitiveColumn(
-        values, validity, base.length, st.from_jnp(values.dtype)
-    )
+    out_dtype = base.dtype if kind is not None else st.from_jnp(values.dtype)
+    return col.PrimitiveColumn(values, validity, base.length, out_dtype)
 
 
 def nullif(c: col.Column, cond: col.BooleanColumn) -> col.Column:
@@ -67,6 +79,7 @@ def shift(c: col.PrimitiveColumn, offset: int) -> col.PrimitiveColumn:
     idx = jnp.arange(cap, dtype=jnp.int32) - offset
     in_bounds = (idx >= 0) & (idx < jnp.int32(c.length))
     src = jnp.clip(idx, 0, cap - 1)
-    values = jnp.where(in_bounds, c.values[src], 0)
+    sel = in_bounds[..., None] if c.wide is not None else in_bounds
+    values = jnp.where(sel, c.values[src], jnp.zeros_like(c.values))
     ok = c.valid_bool()[src] & in_bounds
     return col.PrimitiveColumn(values, bm.pack(ok), c.length, c.dtype)

@@ -45,40 +45,39 @@ from ..core import column as col
 _U32 = jnp.uint32
 
 
-def _split_words_u64(u: jax.Array) -> List[jax.Array]:
-    """uint64 -> [hi, lo] uint32 planes (big-endian word order)."""
-    return [(u >> 32).astype(_U32), u.astype(_U32)]
-
-
 def _int_planes(values: jax.Array) -> List[jax.Array]:
+    """Narrow (<= 32-bit) integer planes."""
     dt = values.dtype
-    bits = jnp.iinfo(dt).bits
     signed = jnp.issubdtype(dt, jnp.signedinteger)
-    if bits <= 32:
-        if signed:
-            # order-preserving map to unsigned: subtract the type minimum
-            u = (values.astype(jnp.int64) - jnp.iinfo(dt).min).astype(jnp.uint32)
-            return [u]
-        return [values.astype(_U32)]
-    # 64-bit
     if signed:
-        u = (values.astype(jnp.int64) ^ jnp.int64(-0x8000000000000000)).astype(jnp.uint64)
-        return _split_words_u64(u)
-    return _split_words_u64(values.astype(jnp.uint64))
+        # order-preserving map to unsigned: subtract the type minimum
+        u = (values.astype(jnp.int64) - jnp.iinfo(dt).min).astype(jnp.uint32)
+        return [u]
+    return [values.astype(_U32)]
+
+
+def _wide_planes(limbs: jax.Array, kind: str) -> List[jax.Array]:
+    """64-bit limb columns -> [hi_plane, lo_plane] uint32, MSB first —
+    pure 32-bit ops (this TPU cannot bitcast 64-bit types; see
+    core/wide.py)."""
+    from ..core import wide as wd
+
+    if kind == "f64":
+        ph, pl = wd.f64_total_order_planes(limbs)
+        return [ph, pl]
+    hi = wd.hi(limbs)
+    if kind == "i64":
+        hi = hi ^ jnp.uint32(0x80000000)  # sign flip on the top word
+    return [hi, wd.lo(limbs)]
 
 
 def _float_planes(values: jax.Array) -> List[jax.Array]:
     dt = values.dtype
     if dt == jnp.float16:
         values = values.astype(jnp.float32)
-        dt = jnp.float32
-    if dt == jnp.float32:
-        b = jax.lax.bitcast_convert_type(values, jnp.int32)
-        mask = jnp.where(b < 0, jnp.int32(-1), jnp.int32(-0x80000000))
-        return [(b ^ mask).astype(_U32)]
-    b = jax.lax.bitcast_convert_type(values.astype(jnp.float64), jnp.int64)
-    mask = jnp.where(b < 0, jnp.int64(-1), jnp.int64(-0x8000000000000000))
-    return _split_words_u64((b ^ mask).astype(jnp.uint64))
+    b = jax.lax.bitcast_convert_type(values.astype(jnp.float32), jnp.int32)
+    mask = jnp.where(b < 0, jnp.int32(-1), jnp.int32(-0x80000000))
+    return [(b ^ mask).astype(_U32)]
 
 
 def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.Array]:
@@ -119,7 +118,9 @@ def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.
         value_planes = [swapped, c.views[:, 0]]  # prefix then length
         valid = c.valid_bool()
     elif isinstance(c, col.PrimitiveColumn):
-        if jnp.issubdtype(c.values.dtype, jnp.floating):
+        if c.wide is not None:
+            value_planes = _wide_planes(c.values, c.wide)
+        elif jnp.issubdtype(c.values.dtype, jnp.floating):
             value_planes = _float_planes(c.values)
         else:
             value_planes = _int_planes(c.values)

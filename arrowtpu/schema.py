@@ -279,6 +279,20 @@ utf8 = Utf8()
 binary = Binary()
 
 
+def wide_kind(dtype: DataType):
+    """Physical-width classifier: 64-bit logical types store as
+    (capacity, 2) uint32 limb pairs (see core/wide.py for why — this TPU
+    moves u32 at ~4.7x the bandwidth of emulated s64 and cannot bitcast
+    64-bit types).  Returns "i64" | "u64" | "f64" | None (native)."""
+    if isinstance(dtype, Int) and dtype.bits == 64:
+        return "i64" if dtype.signed else "u64"
+    if isinstance(dtype, Float) and dtype.bits == 64:
+        return "f64"
+    if isinstance(dtype, (Timestamp, Date64, Time64, Duration)):
+        return "i64"
+    return None
+
+
 def from_jnp(dt) -> DataType:
     dt = jnp.dtype(dt)
     if dt.kind == "b":
