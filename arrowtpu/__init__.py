@@ -30,6 +30,8 @@ from .core import (
     record_batch,
     string_view,
 )
+from . import interop
+from .interop import from_pyarrow, to_pyarrow
 from .schema import (
     ArrowTpuError,
     DataType,
