@@ -23,6 +23,8 @@ from .sort import (
     sort_batch,
     sort_to_indices,
 )
+from . import cast as castmod
+from .cast import can_cast_types, cast, dictionary_decode, dictionary_encode
 from .aggregate import bool_and, bool_or, count, finalize, max_, min_, product, sum_
 from .bitwise import bit_and, bit_not, bit_or, bit_xor, shift_left, shift_right
 from .boolean import (

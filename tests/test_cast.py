@@ -1,0 +1,195 @@
+"""Cast kernel tests, cross-validated against pyarrow's cast where the
+semantics overlap (reference test model: the ~310 inline tests in
+/root/reference/arrow-cast/src/cast/mod.rs)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrowtpu as at
+from arrowtpu import ops
+from arrowtpu import schema as st
+from arrowtpu.config import CastOptions
+from arrowtpu.interop import from_pyarrow, to_pyarrow
+
+
+def _check_vs_pa(pa_arr, to_patype, to_dt, safe=True):
+    ours = ops.cast(from_pyarrow(pa_arr), to_dt, CastOptions(safe=safe))
+    theirs = pc.cast(pa_arr, to_patype, safe=False if not safe else None)
+    # route ours through the bridge so temporal types compare as datetimes
+    got = to_pyarrow(ours).to_pylist()
+    assert got == theirs.to_pylist(), (to_dt, got, theirs.to_pylist())
+
+
+def test_int_widening_narrowing():
+    arr = pa.array([1, -2, None, 127], type=pa.int8())
+    _check_vs_pa(arr, pa.int32(), st.int32)
+    _check_vs_pa(arr, pa.int64(), st.int64)
+    arr = pa.array([1, 300, None, -5], type=pa.int32())
+    # 300 doesn't fit int8 -> null under safe=True
+    ours = ops.cast(from_pyarrow(arr), st.int8)
+    assert ours.to_pylist() == [1, None, None, -5]
+
+
+def test_narrowing_unsafe_raises():
+    arr = pa.array([1, 300], type=pa.int32())
+    with pytest.raises(at.ArrowTpuError):
+        ops.cast(from_pyarrow(arr), st.int8, CastOptions(safe=False))
+
+
+def test_signedness():
+    arr = pa.array([1, -1, None], type=pa.int32())
+    assert ops.cast(from_pyarrow(arr), st.uint32).to_pylist() == [1, None, None]
+    arr = pa.array([1, 2**31 + 5], type=pa.uint32())
+    assert ops.cast(from_pyarrow(arr), st.int32).to_pylist() == [1, None]
+
+
+def test_int64_paths():
+    arr = pa.array([2**40, -(2**40), None, 7], type=pa.int64())
+    _check_vs_pa(arr, pa.float64(), st.float64)
+    assert ops.cast(from_pyarrow(arr), st.int32).to_pylist() == [None, None, None, 7]
+    _check_vs_pa(pa.array([1, 2, None], type=pa.int64()), pa.int32(), st.int32)
+    # u64 above i64 range -> null
+    arr = pa.array([2**63 + 1, 5], type=pa.uint64())
+    assert ops.cast(from_pyarrow(arr), st.int64).to_pylist() == [None, 5]
+    # i64 negative -> u64 null
+    arr = pa.array([-1, 5], type=pa.int64())
+    assert ops.cast(from_pyarrow(arr), st.uint64).to_pylist() == [None, 5]
+
+
+def test_float_to_int_truncates():
+    arr = pa.array([1.9, -1.9, None, 1e10], type=pa.float32())
+    ours = ops.cast(from_pyarrow(arr), st.int32)
+    assert ours.to_pylist() == [1, -1, None, None]
+    arr64 = pa.array([2.5, -3.5, None], type=pa.float64())
+    assert ops.cast(from_pyarrow(arr64), st.int64).to_pylist() == [2, -3, None]
+    assert ops.cast(from_pyarrow(arr64), st.int32).to_pylist() == [2, -3, None]
+
+
+def test_int_to_float():
+    _check_vs_pa(pa.array([1, -2, None], type=pa.int32()), pa.float32(), st.float32)
+    _check_vs_pa(pa.array([1, -2, None], type=pa.int16()), pa.float64(), st.float64)
+
+
+def test_bool_numeric():
+    arr = pa.array([True, False, None])
+    assert ops.cast(from_pyarrow(arr), st.int32).to_pylist() == [1, 0, None]
+    assert ops.cast(from_pyarrow(arr), st.int64).to_pylist() == [1, 0, None]
+    arr = pa.array([0, 3, None, -1], type=pa.int32())
+    assert ops.cast(from_pyarrow(arr), st.boolean).to_pylist() == [False, True, None, True]
+    arr = pa.array([0.0, 2.5, None], type=pa.float64())
+    assert ops.cast(from_pyarrow(arr), st.boolean).to_pylist() == [False, True, None]
+
+
+def test_numeric_to_string():
+    arr = pa.array([1, None, -3], type=pa.int64())
+    assert ops.cast(from_pyarrow(arr), st.utf8).to_pylist() == ["1", None, "-3"]
+    arr = pa.array([True, None, False])
+    assert ops.cast(from_pyarrow(arr), st.utf8).to_pylist() == ["true", None, "false"]
+
+
+def test_string_to_numeric():
+    arr = pa.array(["1", "-3", "oops", None])
+    assert ops.cast(from_pyarrow(arr), st.int64).to_pylist() == [1, -3, None, None]
+    with pytest.raises(at.ArrowTpuError):
+        ops.cast(from_pyarrow(arr), st.int64, CastOptions(safe=False))
+    arr = pa.array(["1.5", "-2e3", None])
+    assert ops.cast(from_pyarrow(arr), st.float64).to_pylist() == [1.5, -2000.0, None]
+    assert ops.cast(from_pyarrow(pa.array(["300"])), st.int8).to_pylist() == [None]
+
+
+def test_string_to_date_timestamp():
+    arr = pa.array(["2020-01-01", None])
+    c = ops.cast(from_pyarrow(arr), st.Date32())
+    assert c.to_pylist() == [(np.datetime64("2020-01-01") - np.datetime64("1970-01-01")).astype(int), None]
+    arr = pa.array(["2020-01-01T00:00:01Z"])
+    c = ops.cast(from_pyarrow(arr), st.Timestamp("s"))
+    assert c.to_pylist() == [1577836801]
+
+
+def test_utf8_binary_reinterpret():
+    arr = pa.array(["ab", None])
+    c = ops.cast(from_pyarrow(arr), st.binary)
+    assert c.to_pylist() == [b"ab", None]
+
+
+def test_timestamp_unit_conversion():
+    arr = pa.array([1_500_000, None, -1_500_000], type=pa.timestamp("us"))
+    _check_vs_pa(arr, pa.timestamp("ns"), st.Timestamp("ns"))
+    # downscale truncates (arrow-rs cast semantics; pyarrow's safe cast
+    # refuses lossy truncation, so compare against its unsafe cast)
+    for unit in ("ms", "s"):
+        ours = ops.cast(from_pyarrow(arr), st.Timestamp(unit))
+        theirs = pc.cast(arr, pa.timestamp(unit), safe=False)
+        assert to_pyarrow(ours).to_pylist() == theirs.to_pylist()
+
+
+def test_date_casts():
+    arr = pa.array([0, 1, None, -1], type=pa.date32())
+    _check_vs_pa(arr, pa.date64(), st.Date64())
+    arr = pa.array([86400000, None, -86400000], type=pa.date64())
+    _check_vs_pa(arr, pa.date32(), st.Date32())
+
+
+def test_timestamp_to_date32_floors_negative():
+    # -1 us is 1969-12-31, i.e. day -1 (floor division)
+    arr = pa.array([-1, 0, 86_400_000_000], type=pa.timestamp("us"))
+    ours = ops.cast(from_pyarrow(arr), st.Date32())
+    assert ours.to_pylist() == [-1, 0, 1]
+
+
+def test_time_casts():
+    arr = pa.array([1000, None], type=pa.time32("ms"))
+    _check_vs_pa(arr, pa.time64("us"), st.Time64("us"))
+
+
+def test_dictionary_casts():
+    arr = pa.array(["a", "b", "a", None]).dictionary_encode()
+    c = from_pyarrow(arr)
+    plain = ops.cast(c, st.utf8)
+    assert plain.to_pylist() == ["a", "b", "a", None]
+    # plain -> dict
+    enc = ops.dictionary_encode(plain)
+    assert enc.to_pylist() == ["a", "b", "a", None]
+    # dict of ints -> cast values
+    arr = pa.array([1, 2, 1, None], type=pa.int32()).dictionary_encode()
+    c2 = ops.cast(from_pyarrow(arr), st.Dictionary(st.int32, st.int64))
+    assert c2.to_pylist() == [1, 2, 1, None]
+
+
+def test_null_to_any():
+    c = at.null_column(3)
+    assert ops.cast(c, st.int32).to_pylist() == [None, None, None]
+    assert ops.cast(c, st.utf8).to_pylist() == [None, None, None]
+
+
+def test_can_cast_types():
+    assert ops.can_cast_types(st.int32, st.float64)
+    assert ops.can_cast_types(st.utf8, st.int64)
+    assert ops.can_cast_types(st.null, st.utf8)
+    assert ops.can_cast_types(st.Timestamp("us"), st.Date32())
+    assert not ops.can_cast_types(st.Date32(), st.Time32("ms"))
+
+
+def test_cast_under_jit():
+    import jax
+
+    c = at.from_pylist([1.9, None, -3.7], st.float64)
+    out = jax.jit(lambda x: ops.cast(x, st.int64))(c)
+    assert out.to_pylist() == [1, None, -3]
+
+
+def test_cast_large_random_vs_pa(rng):
+    n = 50_000
+    vals = rng.integers(-(2**40), 2**40, n)
+    mask = rng.random(n) < 0.05
+    arr = pa.array(np.where(mask, 0, vals), mask=mask, type=pa.int64())
+    _check_vs_pa(arr, pa.float64(), st.float64)
+    ours = ops.cast(from_pyarrow(arr), st.int32)
+    expect = pc.cast(arr, pa.int32(), safe=True) if False else None
+    # pyarrow raises on unsafe narrowing; emulate element-wise
+    v = np.where(mask, 0, vals)
+    ok = (v >= -(2**31)) & (v < 2**31) & ~mask
+    expected = [int(x) if k else None for x, k in zip(v, ok)]
+    assert ours.to_pylist() == expected
