@@ -178,7 +178,7 @@ class BooleanColumn(Column):
 @partial(
     _register,
     data_fields=["views", "arena", "validity", "length"],
-    meta_fields=["dtype"],
+    meta_fields=["dtype", "len_bound"],
 )
 @dataclasses.dataclass(frozen=True)
 class StringViewColumn(Column):
@@ -189,13 +189,19 @@ class StringViewColumn(Column):
     views[i] = [length, prefix (first <=4 bytes, little-endian-packed),
     buffer_index (always 0 here: single arena), offset].  Strings <= 12
     bytes are fully inline: bytes 4..12 live in the buffer_index/offset
-    words, exactly as the reference's inline form."""
+    words, exactly as the reference's inline form.
+
+    len_bound: static upper bound on byte length, carried as pytree
+    metadata so matrix kernels (ops/strings.py) have a compile-time shape
+    even under jit tracing (builders set it; movement kernels preserve
+    it)."""
 
     views: Array  # (capacity, 4) uint32
     arena: Array  # (arena_capacity,) uint8 shared data buffer
     validity: Optional[Array]
     length: Array
     dtype: st.DataType  # Utf8 or Binary
+    len_bound: Optional[int] = None
 
     @property
     def capacity(self) -> int:
@@ -462,6 +468,7 @@ def string_view(data, dtype: st.DataType = st.utf8) -> StringViewColumn:
         bm.from_numpy_bools(valid[:n]) if has_nulls else None,
         _as_length(n, cap),
         dtype,
+        len_bound=int(views[:, 0].max()) if n else 0,
     )
 
 

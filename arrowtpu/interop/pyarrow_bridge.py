@@ -343,7 +343,8 @@ def _string_from_pa(a, dt: st.DataType) -> col.StringViewColumn:
     # null rows already have zero views: lens was zeroed at null slots, so
     # the length word, prefix grab, and inline payload are all zero there.
     return col.StringViewColumn(
-        jnp.asarray(views), jnp.asarray(arena), validity, jnp.int32(n), dt
+        jnp.asarray(views), jnp.asarray(arena), validity, jnp.int32(n), dt,
+        len_bound=int(lens.max()) if n else 0,
     )
 
 

@@ -23,6 +23,24 @@ from .sort import (
     sort_batch,
     sort_to_indices,
 )
+from . import strings
+from .strings import (
+    bit_length,
+    concat_elements,
+    contains,
+    ends_with,
+    ilike,
+    length,
+    like,
+    lower,
+    nilike,
+    nlike,
+    octet_length,
+    regexp_is_match,
+    starts_with,
+    substring,
+    upper,
+)
 from . import cast as castmod
 from .cast import can_cast_types, cast, dictionary_decode, dictionary_encode
 from .aggregate import bool_and, bool_or, count, finalize, max_, min_, product, sum_

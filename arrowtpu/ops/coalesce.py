@@ -45,7 +45,7 @@ def slice_(c: col.Column, offset, length) -> col.Column:
     if isinstance(c, col.BooleanColumn):
         return col.BooleanColumn(bm.pack(c.values_bool()[idx]), validity, length)
     if isinstance(c, col.StringViewColumn):
-        return col.StringViewColumn(c.views[idx], c.arena, validity, length, c.dtype)
+        return col.StringViewColumn(c.views[idx], c.arena, validity, length, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):
         return col.PrimitiveColumn(c.values[idx], validity, length, c.dtype)
     raise st.ComputeError(f"slice: unsupported column {type(c).__name__}")
@@ -129,7 +129,7 @@ def _shrink_col(c: col.Column, cap: int, n: int) -> col.Column:
     if isinstance(c, col.BooleanColumn):
         return col.BooleanColumn(c.values[: cap // 32], validity, ln)
     if isinstance(c, col.StringViewColumn):
-        return col.StringViewColumn(c.views[:cap], c.arena, validity, ln, c.dtype)
+        return col.StringViewColumn(c.views[:cap], c.arena, validity, ln, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):
         return col.PrimitiveColumn(c.values[:cap], validity, ln, c.dtype)
     raise st.ComputeError(f"shrink: unsupported column {type(c).__name__}")

@@ -127,7 +127,9 @@ def concat(columns: Sequence[col.Column]) -> col.Column:
             views_list.append(v)
             start += c.arena.shape[0]
         views = _concat_arrays(views_list, lengths, out_cap)
-        return col.StringViewColumn(views, arena, validity, total, first.dtype)
+        bounds = [c.len_bound for c in columns]
+        lb = None if any(b is None for b in bounds) else max(bounds, default=0)
+        return col.StringViewColumn(views, arena, validity, total, first.dtype, lb)
 
     if isinstance(first, col.PrimitiveColumn):
         vals = _concat_arrays([c.values for c in columns], lengths, out_cap)
@@ -214,7 +216,9 @@ def _stack_slabs(columns):
             start += c.arena.shape[0]
         views = jnp.concatenate(views_list)
         oks = jnp.concatenate([c.valid_bool() for c in columns])
+        bounds = [c.len_bound for c in columns]
+        lb = None if any(b is None for b in bounds) else max(bounds, default=0)
         return col.StringViewColumn(
-            views, arena, bm.pack(oks), jnp.int32(out_cap), first.dtype
+            views, arena, bm.pack(oks), jnp.int32(out_cap), first.dtype, lb
         )
     raise st.ComputeError(f"interleave: unsupported column {type(first).__name__}")

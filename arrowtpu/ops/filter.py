@@ -95,7 +95,7 @@ def apply_plan(c: col.Column, plan: FilterPlan) -> col.Column:
         # (reference filter_byte_view keeps data buffers, filter.rs:560s)
         views = _scatter_compact(c.views, plan)
         validity = _filter_validity(c, plan)
-        return col.StringViewColumn(views, c.arena, validity, new_len, c.dtype)
+        return col.StringViewColumn(views, c.arena, validity, new_len, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):
         vals = _scatter_compact(c.values, plan)
         validity = _filter_validity(c, plan)

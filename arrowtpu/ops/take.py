@@ -78,7 +78,7 @@ def _take_values(c: col.Column, idx, idx_ok, out_length):
         return col.BooleanColumn(bm.pack(c.values_bool()[idx]), validity, out_length)
     if isinstance(c, col.StringViewColumn):
         # gather 16-byte views, share arena (reference take_byte_view :633)
-        return col.StringViewColumn(c.views[idx], c.arena, validity, out_length, c.dtype)
+        return col.StringViewColumn(c.views[idx], c.arena, validity, out_length, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):
         return col.PrimitiveColumn(c.values[idx], validity, out_length, c.dtype)
     raise st.ComputeError(f"take: unsupported column {type(c).__name__}")
