@@ -43,6 +43,8 @@ from .strings import (
 )
 from . import cast as castmod
 from .cast import can_cast_types, cast, dictionary_decode, dictionary_encode
+from . import temporal
+from .temporal import date_part
 from .aggregate import bool_and, bool_or, count, finalize, max_, min_, product, sum_
 from .bitwise import bit_and, bit_not, bit_or, bit_xor, shift_left, shift_right
 from .boolean import (

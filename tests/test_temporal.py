@@ -1,0 +1,128 @@
+"""date_part tests vs pyarrow.compute temporal kernels (reference test
+model: /root/reference/arrow-arith/src/temporal.rs inline tests)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrowtpu as at
+from arrowtpu import schema as st
+from arrowtpu.interop import from_pyarrow
+from arrowtpu.ops import temporal as T
+
+
+def _ts_array(rng, n=2000):
+    # 1677..2262 covers ns-safe range; include negatives (pre-1970)
+    vals = rng.integers(-(10**17), 10**17, n)
+    mask = rng.random(n) < 0.05
+    return pa.array(np.where(mask, 0, vals), mask=mask, type=pa.timestamp("ns"))
+
+
+@pytest.mark.parametrize(
+    "part,pafn",
+    [
+        ("year", pc.year),
+        ("quarter", pc.quarter),
+        ("month", pc.month),
+        ("day", pc.day),
+        ("day_of_year", pc.day_of_year),
+        ("hour", pc.hour),
+        ("minute", pc.minute),
+        ("second", pc.second),
+        ("millisecond", pc.millisecond),
+        ("week", pc.iso_week),
+    ],
+)
+def test_date_part_timestamp(rng, part, pafn):
+    arr = _ts_array(rng)
+    got = T.date_part(from_pyarrow(arr), part).to_pylist()
+    exp = pafn(arr).to_pylist()
+    assert got == exp, part
+
+
+def test_subsecond_parts_reference_semantics(rng):
+    """The reference defines Microsecond/Nanosecond as 'of the second'
+    (arrow-arith/src/temporal.rs:77-82, 168-170); pyarrow reports
+    within-millisecond/within-microsecond, so recombine for comparison."""
+    arr = _ts_array(rng)
+    c = from_pyarrow(arr)
+    ms = pc.millisecond(arr).to_pylist()
+    us = pc.microsecond(arr).to_pylist()
+    ns = pc.nanosecond(arr).to_pylist()
+    exp_us = [None if a is None else a * 1000 + b for a, b in zip(ms, us)]
+    exp_ns = [
+        None if a is None else (a * 1000 + b) * 1000 + c_
+        for a, b, c_ in zip(ms, us, ns)
+    ]
+    assert T.date_part(c, "microsecond").to_pylist() == exp_us
+    assert T.date_part(c, "nanosecond").to_pylist() == exp_ns
+
+
+def test_day_of_week(rng):
+    arr = _ts_array(rng)
+    c = from_pyarrow(arr)
+    got = T.date_part(c, "day_of_week_monday0").to_pylist()
+    exp = pc.day_of_week(arr).to_pylist()  # pyarrow default: monday=0
+    assert got == exp
+    got = T.date_part(c, "day_of_week_sunday0").to_pylist()
+    exp = pc.day_of_week(arr, count_from_zero=True, week_start=7).to_pylist()
+    assert got == exp
+
+
+def test_date32(rng):
+    import datetime as dt
+
+    vals = rng.integers(-30000, 30000, 500).astype(np.int32)
+    arr = pa.array(vals, type=pa.date32())
+    c = from_pyarrow(arr)
+    dates = [dt.date(1970, 1, 1) + dt.timedelta(days=int(v)) for v in vals]
+    assert T.date_part(c, "year").to_pylist() == [d.year for d in dates]
+    assert T.date_part(c, "month").to_pylist() == [d.month for d in dates]
+    assert T.date_part(c, "day").to_pylist() == [d.day for d in dates]
+
+
+def test_date64(rng):
+    import datetime as dt
+
+    vals = rng.integers(-(2**41), 2**41, 500)
+    arr = pa.array(vals, type=pa.date64())
+    c = from_pyarrow(arr)
+    epoch = dt.datetime(1970, 1, 1)
+    ts = [epoch + dt.timedelta(milliseconds=int(v)) for v in vals]
+    assert T.date_part(c, "year").to_pylist() == [t.year for t in ts]
+    assert T.date_part(c, "day").to_pylist() == [t.day for t in ts]
+    assert T.date_part(c, "hour").to_pylist() == [t.hour for t in ts]
+
+
+def test_time(rng):
+    vals = rng.integers(0, 86_400_000, 500).astype(np.int32)
+    arr = pa.array(vals, type=pa.time32("ms"))
+    c = from_pyarrow(arr)
+    assert T.date_part(c, "hour").to_pylist() == [int(v) // 3_600_000 for v in vals]
+    assert T.date_part(c, "minute").to_pylist() == [int(v) // 60_000 % 60 for v in vals]
+    assert T.date_part(c, "second").to_pylist() == [int(v) // 1000 % 60 for v in vals]
+    vals = rng.integers(0, 86_400_000_000_000, 500)
+    arr = pa.array(vals, type=pa.time64("us"))
+    c = from_pyarrow(arr)
+    # microsecond-of-second (reference semantics)
+    assert T.date_part(c, "microsecond").to_pylist() == [int(v) % 10**6 for v in vals]
+
+
+def test_timestamp_us_ms_s(rng):
+    # stay inside the ns-safe range: pyarrow's kernels overflow outside it
+    for unit, lim in (("us", 10**13), ("ms", 10**10), ("s", 10**7)):
+        vals = rng.integers(-lim, lim, 300)
+        arr = pa.array(vals, type=pa.timestamp(unit))
+        c = from_pyarrow(arr)
+        assert T.date_part(c, "year").to_pylist() == pc.year(arr).to_pylist()
+        assert T.date_part(c, "hour").to_pylist() == pc.hour(arr).to_pylist()
+
+
+def test_under_jit(rng):
+    import jax
+
+    arr = _ts_array(rng, 256)
+    c = from_pyarrow(arr)
+    got = jax.jit(lambda x: T.date_part(x, "year"))(c)
+    assert got.to_pylist() == pc.year(arr).to_pylist()
