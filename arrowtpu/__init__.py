@@ -17,18 +17,24 @@ from .core import (
     BooleanColumn,
     Column,
     DictionaryColumn,
+    FixedSizeListColumn,
+    ListViewColumn,
     NullColumn,
     PrimitiveColumn,
     RecordBatch,
     StringViewColumn,
+    StructColumn,
     bitmap,
     boolean,
     dictionary_encode_host,
+    fixed_size_list,
     from_pylist,
+    list_view,
     null_column,
     primitive,
     record_batch,
     string_view,
+    struct_column,
 )
 from . import interop
 from .interop import from_pyarrow, to_pyarrow

@@ -284,6 +284,134 @@ class DictionaryColumn(Column):
         return out
 
 
+@partial(
+    _register,
+    data_fields=["starts", "sizes", "child", "validity", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class ListViewColumn(Column):
+    """List with arrow ListView physical semantics: per-row (start, size)
+    into a shared child column (reference ListViewArray,
+    arrow-array/src/array/list_view_array.rs; classic offset-encoded
+    List/LargeList are the reference's other list forms,
+    arrow-array/src/array/list_array.rs, converted at interop).
+
+    TPU-first rationale: exactly like string views, selection kernels
+    gather only the fixed-width (start, size) pairs and share the child —
+    the dense gather the VPU wants; no re-compaction of child data on
+    every filter.  dtype may be st.List or st.Map (whose child is the
+    2-field entry struct, reference map_array.rs:32)."""
+
+    starts: Array  # (capacity,) int32 into child rows
+    sizes: Array  # (capacity,) int32
+    child: "Column"
+    validity: Optional[Array]
+    length: Array
+    dtype: st.DataType  # st.List | st.Map
+
+    @property
+    def capacity(self) -> int:
+        return self.starts.shape[0]
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        starts = np.asarray(self.starts)[:n]
+        sizes = np.asarray(self.sizes)[:n]
+        valid = (
+            bm.to_numpy_bools(self.validity, n)
+            if self.validity is not None
+            else np.ones(n, bool)
+        )
+        child_vals = self.child.to_pylist()
+        out = []
+        is_map = isinstance(self.dtype, st.Map)
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            items = child_vals[starts[i] : starts[i] + sizes[i]]
+            if is_map:
+                out.append([(d["key"], d["value"]) for d in items])
+            else:
+                out.append(items)
+        return out
+
+
+@partial(
+    _register,
+    data_fields=["children", "validity", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class StructColumn(Column):
+    """reference StructArray (arrow-array/src/array/struct_array.rs):
+    parallel children + own validity."""
+
+    children: Tuple["Column", ...]
+    validity: Optional[Array]
+    length: Array
+    dtype: st.Struct
+
+    @property
+    def capacity(self) -> int:
+        return self.children[0].capacity if self.children else 0
+
+    def field(self, name: str) -> "Column":
+        for f, c in zip(self.dtype.fields, self.children):
+            if f.name == name:
+                return c
+        raise st.SchemaError(f"struct has no field {name!r}")
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        valid = (
+            bm.to_numpy_bools(self.validity, n)
+            if self.validity is not None
+            else np.ones(n, bool)
+        )
+        cols = [c.to_pylist() for c in self.children]
+        names = [f.name for f in self.dtype.fields]
+        return [
+            dict(zip(names, vals)) if ok else None
+            for ok, vals in zip(valid, zip(*cols) if cols else [()] * n)
+        ]
+
+
+@partial(
+    _register,
+    data_fields=["child", "validity", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class FixedSizeListColumn(Column):
+    """reference FixedSizeListArray: child holds capacity*size rows; row i's
+    items are child rows [i*size, (i+1)*size)."""
+
+    child: "Column"
+    validity: Optional[Array]
+    length: Array
+    dtype: st.FixedSizeList
+
+    @property
+    def capacity(self) -> int:
+        return self.child.capacity // self.dtype.size
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        size = self.dtype.size
+        valid = (
+            bm.to_numpy_bools(self.validity, n)
+            if self.validity is not None
+            else np.ones(n, bool)
+        )
+        child_vals = self.child.to_pylist()
+        return [
+            child_vals[i * size : (i + 1) * size] if valid[i] else None
+            for i in range(n)
+        ]
+
+
 @partial(_register, data_fields=["length"], meta_fields=["_capacity"])
 @dataclasses.dataclass(frozen=True)
 class NullColumn(Column):
@@ -407,19 +535,14 @@ def from_pylist(data, dtype: st.DataType = None) -> Column:
         probe = next((x for x in data if x is not None), None)
         if probe is None:
             return NullColumn(_as_length(n, round_up(max(n, 1))), round_up(max(n, 1)))
-        if isinstance(probe, bool):
-            dtype = st.boolean
-        elif isinstance(probe, int):
-            dtype = st.int64
-        elif isinstance(probe, float):
-            dtype = st.float64
-        elif isinstance(probe, str):
-            dtype = st.utf8
-        elif isinstance(probe, bytes):
-            dtype = st.binary
-        else:
-            raise st.InvalidArgumentError(f"cannot infer dtype from {type(probe)}")
+        dtype = _infer_dtype(probe)
 
+    if isinstance(dtype, (st.List, st.Map)):
+        return list_view(data, dtype)
+    if isinstance(dtype, st.Struct):
+        return struct_column(data, dtype)
+    if isinstance(dtype, st.FixedSizeList):
+        return fixed_size_list(data, dtype)
     if isinstance(dtype, st.Boolean):
         vals = np.array([bool(x) if x is not None else False for x in data], bool)
         return boolean(vals, validity=bm.from_numpy_bools(valid) if has_nulls else None)
@@ -507,3 +630,122 @@ def dictionary_encode_host(data, dtype: st.Dictionary = None) -> DictionaryColum
 def null_column(n: int) -> NullColumn:
     cap = round_up(max(n, 1))
     return NullColumn(_as_length(n, cap), cap)
+
+
+def list_view(data, dtype: st.DataType = None) -> ListViewColumn:
+    """Host-side list builder: python lists-of-lists (None = null row).
+    Map data is a list of [(k, v), ...] pairs (or dicts)."""
+    n = len(data)
+    cap = round_up(max(n, 1))
+    starts = np.zeros(cap, dtype=np.int32)
+    sizes = np.zeros(cap, dtype=np.int32)
+    valid = np.zeros(cap, dtype=bool)
+    flat = []
+    is_map = isinstance(dtype, st.Map)
+    for i, row in enumerate(data):
+        if row is None:
+            continue
+        valid[i] = True
+        starts[i] = len(flat)
+        if is_map:
+            items = row.items() if isinstance(row, dict) else row
+            items = [{"key": k, "value": v} for k, v in items]
+        else:
+            items = list(row)
+        sizes[i] = len(items)
+        flat.extend(items)
+    if dtype is None:
+        probe = next((x for x in flat if x is not None), None)
+        inner = _infer_dtype(probe) if probe is not None else st.int64
+        dtype = st.List(inner)
+    if is_map:
+        child = from_pylist(flat, dtype.entry_struct)
+    else:
+        child = from_pylist(flat, dtype.value)
+    has_nulls = not valid[:n].all()
+    return ListViewColumn(
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        child,
+        bm.from_numpy_bools(valid[:n]) if has_nulls else None,
+        _as_length(n, cap),
+        dtype,
+    )
+
+
+def struct_column(data, dtype: st.Struct = None) -> StructColumn:
+    """Host-side struct builder: list of dicts (None = null row; null rows
+    contribute default values to children, like the reference's builders)."""
+    n = len(data)
+    cap = round_up(max(n, 1))
+    valid = np.array([x is not None for x in data] + [False] * (cap - n), bool)
+    if dtype is None:
+        probe = next((x for x in data if x is not None), {})
+        dtype = st.Struct(
+            tuple(
+                st.Field(k, _infer_dtype(v) if v is not None else st.int64)
+                for k, v in probe.items()
+            )
+        )
+    children = []
+    for f in dtype.fields:
+        vals = [None if row is None else row.get(f.name) for row in data]
+        children.append(from_pylist(vals, f.dtype))
+    has_nulls = not valid[:n].all()
+    return StructColumn(
+        tuple(children),
+        bm.from_numpy_bools(valid[:n]) if has_nulls else None,
+        _as_length(n, cap),
+        dtype,
+    )
+
+
+def fixed_size_list(data, dtype: st.FixedSizeList = None) -> FixedSizeListColumn:
+    n = len(data)
+    cap = round_up(max(n, 1))
+    if dtype is None:
+        probe = next((x for x in data if x is not None), None)
+        inner = _infer_dtype(probe[0]) if probe else st.int64
+        dtype = st.FixedSizeList(inner, len(probe) if probe else 1)
+    size = dtype.size
+    valid = np.array([x is not None for x in data] + [False] * (cap - n), bool)
+    flat = []
+    for row in data:
+        if row is None:
+            flat.extend([None] * size)
+        else:
+            if len(row) != size:
+                raise st.InvalidArgumentError(
+                    f"fixed_size_list: row has {len(row)} items, expected {size}"
+                )
+            flat.extend(row)
+    flat.extend([None] * ((cap - n) * size))
+    child = from_pylist(flat, dtype.value)
+    has_nulls = not valid[:n].all()
+    return FixedSizeListColumn(
+        child,
+        bm.from_numpy_bools(valid[:n]) if has_nulls else None,
+        _as_length(n, cap),
+        dtype,
+    )
+
+
+def _infer_dtype(probe) -> st.DataType:
+    if isinstance(probe, bool):
+        return st.boolean
+    if isinstance(probe, int):
+        return st.int64
+    if isinstance(probe, float):
+        return st.float64
+    if isinstance(probe, str):
+        return st.utf8
+    if isinstance(probe, bytes):
+        return st.binary
+    if isinstance(probe, dict):
+        return st.Struct(
+            tuple(st.Field(k, _infer_dtype(v)) for k, v in probe.items())
+        )
+    if isinstance(probe, (list, tuple)):
+        inner = next((x for x in probe if x is not None), None)
+        return st.List(_infer_dtype(inner) if inner is not None else st.int64)
+    raise st.InvalidArgumentError(f"cannot infer dtype from {type(probe)}")

@@ -76,6 +76,16 @@ def dtype_to_pa(dt: st.DataType):
         return pa.dictionary(dtype_to_pa(dt.key), dtype_to_pa(dt.value))
     if isinstance(dt, st.Decimal128):
         return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, st.List):
+        return pa.list_(dtype_to_pa(dt.value))
+    if isinstance(dt, st.FixedSizeList):
+        return pa.list_(dtype_to_pa(dt.value), dt.size)
+    if isinstance(dt, st.Map):
+        return pa.map_(dtype_to_pa(dt.key), dtype_to_pa(dt.item))
+    if isinstance(dt, st.Struct):
+        return pa.struct(
+            [pa.field(f.name, dtype_to_pa(f.dtype), nullable=f.nullable) for f in dt.fields]
+        )
     raise st.SchemaError(f"no pyarrow mapping for {dt}")
 
 
@@ -111,6 +121,18 @@ def dtype_from_pa(t) -> st.DataType:
         return st.binary
     if pa.types.is_dictionary(t):
         return st.Dictionary(dtype_from_pa(t.index_type), dtype_from_pa(t.value_type))
+    if pa.types.is_map(t):
+        return st.Map(dtype_from_pa(t.key_type), dtype_from_pa(t.item_type))
+    if pa.types.is_fixed_size_list(t):
+        return st.FixedSizeList(dtype_from_pa(t.value_type), t.list_size)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or (
+        hasattr(pa.types, "is_list_view") and pa.types.is_list_view(t)
+    ):
+        return st.List(dtype_from_pa(t.value_type))
+    if pa.types.is_struct(t):
+        return st.Struct(
+            tuple(st.Field(f.name, dtype_from_pa(f.type), f.nullable) for f in t)
+        )
     raise st.SchemaError(f"unsupported pyarrow type {t}")
 
 
@@ -224,6 +246,68 @@ def _dictionary_to_pa(c: col.DictionaryColumn):
     return pa.DictionaryArray.from_arrays(keys, values)
 
 
+def _list_view_to_pa(c: col.ListViewColumn):
+    """(start, size) views -> offset-encoded pa list: one vectorized
+    repeat-gather of the child by flattened row ranges."""
+    n = c.concrete_length()
+    starts = np.asarray(c.starts)[:n].astype(np.int64)
+    sizes = np.asarray(c.sizes)[:n].astype(np.int64)
+    valid = (
+        bm.to_numpy_bools(c.validity, n) if c.validity is not None else np.ones(n, bool)
+    )
+    sizes_eff = np.where(valid, sizes, 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes_eff, out=offsets[1:])
+    total = int(offsets[-1])
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offsets[:-1], sizes_eff)
+        + np.repeat(starts, sizes_eff)
+    )
+    child_pa = column_to_pa(c.child)
+    flat = child_pa.take(pa.array(idx, type=pa.int64())) if total else child_pa.slice(0, 0)
+    validity, null_count = _validity_to_pa_buffer(c)
+    mask = pa.array(~valid) if null_count else None
+    if isinstance(c.dtype, st.Map):
+        return pa.MapArray.from_arrays(
+            pa.array(offsets.astype(np.int32)),
+            flat.field("key"),
+            flat.field("value"),
+            mask=mask,
+        )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), flat, mask=mask
+    )
+
+
+def _struct_to_pa(c: col.StructColumn):
+    n = c.concrete_length()
+    children = [column_to_pa(ch) for ch in c.children]
+    valid = (
+        bm.to_numpy_bools(c.validity, n) if c.validity is not None else None
+    )
+    return pa.StructArray.from_arrays(
+        children,
+        names=[f.name for f in c.dtype.fields],
+        mask=pa.array(~valid) if valid is not None else None,
+    )
+
+
+def _fixed_size_list_to_pa(c: col.FixedSizeListColumn):
+    n = c.concrete_length()
+    size = c.dtype.size
+    child = column_to_pa(c.child.with_length(n * size))
+    arr = pa.FixedSizeListArray.from_arrays(child, size)
+    if c.validity is not None:
+        valid = bm.to_numpy_bools(c.validity, n)
+        # re-wrap with a validity bitmap
+        buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        arr = pa.Array.from_buffers(
+            arr.type, n, [buf], null_count=int((~valid).sum()), children=[child]
+        )
+    return arr
+
+
 def column_to_pa(c: col.Column):
     _require_pa()
     if isinstance(c, col.PrimitiveColumn):
@@ -234,6 +318,12 @@ def column_to_pa(c: col.Column):
         return _string_view_to_pa(c)
     if isinstance(c, col.DictionaryColumn):
         return _dictionary_to_pa(c)
+    if isinstance(c, col.ListViewColumn):
+        return _list_view_to_pa(c)
+    if isinstance(c, col.StructColumn):
+        return _struct_to_pa(c)
+    if isinstance(c, col.FixedSizeListColumn):
+        return _fixed_size_list_to_pa(c)
     if isinstance(c, col.NullColumn):
         return pa.nulls(c.concrete_length())
     raise st.SchemaError(f"cannot convert {type(c).__name__} to pyarrow")
@@ -361,6 +451,70 @@ def _dictionary_from_pa(a, dt: st.Dictionary) -> col.DictionaryColumn:
     return col.DictionaryColumn(keys, values, jnp.asarray(ranks), dt)
 
 
+def _valid_bools(a, n):
+    if a.null_count == 0:
+        return np.ones(n, bool)
+    raw = np.frombuffer(a.buffers()[0], dtype=np.uint8, count=(n + 7) // 8)
+    return np.unpackbits(raw, bitorder="little")[:n].astype(bool)
+
+
+def _list_from_pa(a, dt) -> col.ListViewColumn:
+    n = len(a)
+    cap = round_up(max(n, 1))
+    if pa.types.is_map(a.type):
+        offsets = np.asarray(a.offsets).astype(np.int64)
+        entries = pa.StructArray.from_arrays(
+            [_normalize(a.keys), _normalize(a.items)], names=["key", "value"]
+        )
+        child = column_from_pa(entries)
+    else:
+        if pa.types.is_large_list(a.type):
+            offsets = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1)
+        else:
+            offsets = np.frombuffer(a.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
+        child = column_from_pa(_normalize(a.values))
+    starts = np.zeros(cap, np.int32)
+    sizes = np.zeros(cap, np.int32)
+    starts[:n] = offsets[:-1]
+    sizes[:n] = np.diff(offsets)
+    valid = _valid_bools(a, n)
+    starts[:n] = np.where(valid, starts[:n], 0)
+    sizes[:n] = np.where(valid, sizes[:n], 0)
+    return col.ListViewColumn(
+        jnp.asarray(starts),
+        jnp.asarray(sizes),
+        child,
+        _validity_from_pa(a, cap),
+        jnp.int32(n),
+        dt,
+    )
+
+
+def _struct_from_pa(a, dt: st.Struct) -> col.StructColumn:
+    n = len(a)
+    cap = round_up(max(n, 1))
+    children = []
+    for i, f in enumerate(dt.fields):
+        children.append(_grow(column_from_pa(_normalize(a.field(i))), cap))
+    return col.StructColumn(
+        tuple(children), _validity_from_pa(a, cap), jnp.int32(n), dt
+    )
+
+
+def _fixed_size_list_from_pa(a, dt: st.FixedSizeList) -> col.FixedSizeListColumn:
+    n = len(a)
+    cap = round_up(max(n, 1))
+    size = dt.size
+    child = column_from_pa(_normalize(a.values))
+    # child must span cap*size rows
+    target = cap * size
+    if child.capacity < target:
+        child = _grow(child, target)  # target is already granule-aligned
+    return col.FixedSizeListColumn(
+        child, _validity_from_pa(a, cap), jnp.int32(n), dt
+    )
+
+
 def column_from_pa(a) -> col.Column:
     _require_pa()
     a = _normalize(a)
@@ -369,6 +523,9 @@ def column_from_pa(a) -> col.Column:
         pa.types.is_string_view(t) or pa.types.is_binary_view(t)
     ):
         a = a.cast(pa.utf8() if pa.types.is_string_view(t) else pa.binary())
+        t = a.type
+    if hasattr(pa.types, "is_list_view") and pa.types.is_list_view(t):
+        a = a.cast(pa.list_(t.value_type))
         t = a.type
     dt = dtype_from_pa(t)
     if isinstance(dt, st.Null):
@@ -379,6 +536,12 @@ def column_from_pa(a) -> col.Column:
         return _dictionary_from_pa(a, dt)
     if isinstance(dt, (st.Utf8, st.Binary)):
         return _string_from_pa(a, dt)
+    if isinstance(dt, (st.List, st.Map)):
+        return _list_from_pa(a, dt)
+    if isinstance(dt, st.Struct):
+        return _struct_from_pa(a, dt)
+    if isinstance(dt, st.FixedSizeList):
+        return _fixed_size_list_from_pa(a, dt)
     return _primitive_from_pa(a, dt)
 
 
@@ -425,6 +588,24 @@ def _grow(c: col.Column, cap: int) -> col.Column:
         return dc.replace(c, views=jnp.pad(c.views, ((0, cap - c.capacity), (0, 0))), validity=validity)
     if isinstance(c, col.DictionaryColumn):
         return dc.replace(c, keys=_grow(c.keys, cap))
+    if isinstance(c, col.ListViewColumn):
+        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        return dc.replace(
+            c,
+            starts=jnp.pad(c.starts, (0, cap - c.capacity)),
+            sizes=jnp.pad(c.sizes, (0, cap - c.capacity)),
+            validity=validity,
+        )
+    if isinstance(c, col.StructColumn):
+        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        return dc.replace(
+            c, children=tuple(_grow(ch, cap) for ch in c.children), validity=validity
+        )
+    if isinstance(c, col.FixedSizeListColumn):
+        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        return dc.replace(
+            c, child=_grow(c.child, cap * c.dtype.size), validity=validity
+        )
     if isinstance(c, col.NullColumn):
         return col.NullColumn(c.length, cap)
     raise st.SchemaError(f"cannot grow {type(c).__name__}")

@@ -299,6 +299,30 @@ def cast(c: col.Column, to_dt: st.DataType, options: CastOptions = CastOptions()
     if isinstance(to_dt, st.Dictionary):
         return dictionary_encode(cast(c, to_dt.value, options), to_dt)
 
+    # nested casts: element-wise through children (reference cast/list.rs,
+    # struct casts by position)
+    if isinstance(c, col.ListViewColumn) and isinstance(to_dt, st.List):
+        import dataclasses
+
+        return dataclasses.replace(
+            c, child=cast(c.child, to_dt.value, options), dtype=to_dt
+        )
+    if isinstance(c, col.FixedSizeListColumn) and isinstance(to_dt, st.FixedSizeList):
+        import dataclasses
+
+        if to_dt.size != c.dtype.size:
+            raise st.CastError("fixed_size_list size mismatch")
+        return dataclasses.replace(
+            c, child=cast(c.child, to_dt.value, options), dtype=to_dt
+        )
+    if isinstance(c, col.StructColumn) and isinstance(to_dt, st.Struct):
+        if len(to_dt.fields) != len(c.children):
+            raise st.CastError("struct field count mismatch")
+        children = tuple(
+            cast(ch, f.dtype, options) for ch, f in zip(c.children, to_dt.fields)
+        )
+        return col.StructColumn(children, c.validity, c.length, to_dt)
+
     # string source
     if isinstance(c, col.StringViewColumn):
         if isinstance(to_dt, (st.Utf8, st.Binary)):

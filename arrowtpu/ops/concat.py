@@ -65,6 +65,14 @@ def _roll_rows(slab, offset, cap):
     return slab[idx]
 
 
+def concat_full_capacity(columns: Sequence[col.Column]) -> col.Column:
+    """Concatenate columns as whole capacity blocks (padding included) so
+    that row indices within each source stay valid after adding a static
+    per-source rebase — the child-concat mode ListView columns need (their
+    starts address child *positions*, not live-row ranks)."""
+    return concat([c.with_length(c.capacity) for c in columns])
+
+
 def concat(columns: Sequence[col.Column]) -> col.Column:
     """reference concat.rs:495."""
     if not columns:
@@ -134,6 +142,32 @@ def concat(columns: Sequence[col.Column]) -> col.Column:
     if isinstance(first, col.PrimitiveColumn):
         vals = _concat_arrays([c.values for c in columns], lengths, out_cap)
         return col.PrimitiveColumn(vals, validity, total, first.dtype)
+
+    if isinstance(first, col.ListViewColumn):
+        # children concatenate at static offsets (full capacities, like the
+        # string-arena path); each source's starts rebase by its child's
+        # static start in the combined child
+        child = concat_full_capacity([c.child for c in columns])
+        starts_list, rebase = [], 0
+        for c in columns:
+            starts_list.append(c.starts + jnp.int32(rebase))
+            rebase += c.child.capacity
+        starts = _concat_arrays(starts_list, lengths, out_cap)
+        sizes = _concat_arrays([c.sizes for c in columns], lengths, out_cap)
+        return col.ListViewColumn(starts, sizes, child, validity, total, first.dtype)
+
+    if isinstance(first, col.StructColumn):
+        children = tuple(
+            concat([c.children[i] for c in columns])
+            for i in range(len(first.children))
+        )
+        return col.StructColumn(children, validity, total, first.dtype)
+
+    if isinstance(first, col.FixedSizeListColumn):
+        size = first.dtype.size
+        child_cols = [c.child.with_length(c.length * size) for c in columns]
+        child = concat(child_cols)
+        return col.FixedSizeListColumn(child, validity, total, first.dtype)
 
     raise st.ComputeError(f"concat: unsupported column {type(first).__name__}")
 

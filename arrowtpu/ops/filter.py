@@ -100,6 +100,33 @@ def apply_plan(c: col.Column, plan: FilterPlan) -> col.Column:
         vals = _scatter_compact(c.values, plan)
         validity = _filter_validity(c, plan)
         return col.PrimitiveColumn(vals, validity, new_len, c.dtype)
+    if isinstance(c, col.ListViewColumn):
+        # compact (start, size) views, share the child (list_view semantics
+        # replace the reference's MutableArrayData nested fallback,
+        # filter.rs:598)
+        validity = _filter_validity(c, plan)
+        return col.ListViewColumn(
+            _scatter_compact(c.starts, plan),
+            _scatter_compact(c.sizes, plan),
+            c.child,
+            validity,
+            new_len,
+            c.dtype,
+        )
+    if isinstance(c, col.StructColumn):
+        validity = _filter_validity(c, plan)
+        children = tuple(apply_plan(ch, plan) for ch in c.children)
+        return col.StructColumn(children, validity, new_len, c.dtype)
+    if isinstance(c, col.FixedSizeListColumn):
+        # expand the plan to child granularity
+        size = c.dtype.size
+        keep = jnp.repeat(plan.keep, size)
+        pos = (plan.pos[:, None] * size + jnp.arange(size, dtype=jnp.int32)).reshape(-1)
+        child_plan = FilterPlan(keep, pos, plan.count * size)
+        validity = _filter_validity(c, plan)
+        return col.FixedSizeListColumn(
+            apply_plan(c.child, child_plan), validity, new_len, c.dtype
+        )
     raise st.ComputeError(f"filter: unsupported column {type(c).__name__}")
 
 

@@ -81,6 +81,27 @@ def _take_values(c: col.Column, idx, idx_ok, out_length):
         return col.StringViewColumn(c.views[idx], c.arena, validity, out_length, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):
         return col.PrimitiveColumn(c.values[idx], validity, out_length, c.dtype)
+    if isinstance(c, col.ListViewColumn):
+        # gather (start, size) views only, share the child (the list
+        # analogue of take_byte_view, reference take.rs:633; list_view
+        # semantics make this possible where reference take_list :649 must
+        # recurse)
+        return col.ListViewColumn(
+            c.starts[idx], c.sizes[idx], c.child, validity, out_length, c.dtype
+        )
+    if isinstance(c, col.StructColumn):
+        # reference take.rs struct path: take each child
+        children = tuple(
+            _take_values(ch, idx, idx_ok, out_length) for ch in c.children
+        )
+        return col.StructColumn(children, validity, out_length, c.dtype)
+    if isinstance(c, col.FixedSizeListColumn):
+        # expand indices to child rows (reference take_fixed_size_list :879)
+        size = c.dtype.size
+        child_idx = (idx[:, None] * size + jnp.arange(size, dtype=idx.dtype)).reshape(-1)
+        child_ok = jnp.repeat(idx_ok, size)
+        child = _take_values(c.child, child_idx, child_ok, out_length * size)
+        return col.FixedSizeListColumn(child, validity, out_length, c.dtype)
     raise st.ComputeError(f"take: unsupported column {type(c).__name__}")
 
 

@@ -247,10 +247,43 @@ class Dictionary(DataType):
 
 @dataclasses.dataclass(frozen=True)
 class List(DataType):
+    """Variable-length list.  Physical representation is arrow *ListView*
+    semantics ((start, size) pairs into a shared child — reference
+    arrow-array/src/array/list_view_array.rs) because that keeps take/filter
+    a fixed-width gather; offset-encoded List/LargeList convert at the
+    interop boundary."""
+
     value: DataType = dataclasses.field(default_factory=lambda: Int(64))
 
     def __str__(self):
         return f"list<{self.value}>"
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedSizeList(DataType):
+    """reference arrow-array/src/array/fixed_size_list_array.rs."""
+
+    value: DataType = dataclasses.field(default_factory=lambda: Int(64))
+    size: int = 1
+
+    def __str__(self):
+        return f"fixed_size_list<{self.value}>[{self.size}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class Map(DataType):
+    """reference arrow-array/src/array/map_array.rs:32-63: a List whose
+    items are a 2-column struct (key non-null)."""
+
+    key: DataType = dataclasses.field(default_factory=Utf8)
+    item: DataType = dataclasses.field(default_factory=lambda: Int(64))
+
+    @property
+    def entry_struct(self) -> "Struct":
+        return Struct((Field("key", self.key, False), Field("value", self.item)))
+
+    def __str__(self):
+        return f"map<{self.key},{self.item}>"
 
 
 @dataclasses.dataclass(frozen=True)
