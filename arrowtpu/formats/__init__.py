@@ -1,0 +1,19 @@
+"""File formats: CSV, JSON, Arrow IPC (stream+file), Parquet.
+
+Mirrors the reference's L6 format layer (arrow-csv, arrow-json, arrow-ipc,
+parquet — SURVEY.md §2.3) with host-side framing/parse and device-resident
+columnar products."""
+
+from . import csv, flatbuf, ipc, json, layout
+from .csv import read_csv, write_csv
+from .ipc import (
+    FileReader,
+    FileWriter,
+    StreamReader,
+    StreamWriter,
+    read_file,
+    read_stream,
+    write_file,
+    write_stream,
+)
+from .json import read_json, write_json
