@@ -4,7 +4,7 @@ Mirrors the reference's L6 format layer (arrow-csv, arrow-json, arrow-ipc,
 parquet — SURVEY.md §2.3) with host-side framing/parse and device-resident
 columnar products."""
 
-from . import csv, flatbuf, ipc, json, layout
+from . import csv, flatbuf, ipc, json, layout, parquet, thrift
 from .csv import read_csv, write_csv
 from .ipc import (
     FileReader,
@@ -17,3 +17,4 @@ from .ipc import (
     write_stream,
 )
 from .json import read_json, write_json
+from .parquet import ParquetFile, WriterProperties, read_parquet, write_parquet
