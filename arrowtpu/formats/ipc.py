@@ -226,20 +226,23 @@ def _read_schema_fb(t: fb.Table) -> st.Schema:
 # ---------------------------------------------------------------------------
 
 
-def _message_bytes(header_type: int, build_header, body: bytes) -> bytes:
+def build_message_meta(header_type: int, build_header, body_len: int) -> bytes:
+    """The Message flatbuffer alone (8-padded, unframed) — the form Flight
+    ships in FlightData.data_header (reference arrow-flight encode.rs)."""
     b = fb.Builder()
     header = build_header(b)
     b.start_table()
     b.slot_scalar(0, "h", 4, 0)  # MetadataVersion V5
     b.slot_scalar(1, "B", header_type, 0)
     b.slot_offset(2, header)
-    b.slot_scalar(3, "q", len(body), 0)
+    b.slot_scalar(3, "q", body_len, 0)
     msg = b.finish(b.end_table())
-    pad = (-(len(msg))) % 8
-    meta = msg + b"\0" * pad
-    return (
-        struct.pack("<Ii", CONTINUATION, len(meta)) + meta + body
-    )
+    return msg + b"\0" * ((-len(msg)) % 8)
+
+
+def _message_bytes(header_type: int, build_header, body: bytes) -> bytes:
+    meta = build_message_meta(header_type, build_header, len(body))
+    return struct.pack("<Ii", CONTINUATION, len(meta)) + meta + body
 
 
 def _batch_body_and_header(node_list: List[Node]):
@@ -656,6 +659,92 @@ def write_file(batches, schema: st.Schema = None, sink=None) -> Optional[bytes]:
 
 def read_stream(source) -> List[bt.RecordBatch]:
     return list(StreamReader(source))
+
+
+# ---------------------------------------------------------------------------
+# unframed message API (the Flight data plane: header/body travel in
+# separate protobuf fields — reference arrow-flight/src/encode.rs:269)
+# ---------------------------------------------------------------------------
+
+
+def encode_schema_message(schema: st.Schema, dict_ids: Dict[str, int]) -> bytes:
+    return build_message_meta(
+        H_SCHEMA, lambda b: _write_schema_fb(b, schema, dict_ids), 0
+    )
+
+
+def encode_batch_messages(batch: bt.RecordBatch, dict_ids: Dict[str, int],
+                          sent_dicts: set) -> List[Tuple[bytes, bytes]]:
+    """[(meta, body)] for any pending dictionary batches + the record batch."""
+    out: List[Tuple[bytes, bytes]] = []
+
+    def walk(path: str, c: col.Column):
+        if isinstance(c, col.DictionaryColumn):
+            did = dict_ids.get(path)
+            if did is None or did in sent_dicts:
+                return
+            values = c.values
+            node = column_to_layout(values)
+            field_nodes, buffers, body = _batch_body_and_header([node])
+
+            def build(bb: fb.Builder) -> int:
+                rb = _record_batch_header(
+                    bb, values.concrete_length(), field_nodes, buffers
+                )
+                bb.start_table()
+                bb.slot_scalar(0, "q", did, 0)
+                bb.slot_offset(1, rb)
+                return bb.end_table()
+
+            out.append((build_message_meta(H_DICT, build, len(body)), body))
+            sent_dicts.add(did)
+        elif isinstance(c, col.StructColumn):
+            for f, ch in zip(c.dtype.fields, c.children):
+                walk(path + "." + f.name, ch)
+        elif isinstance(c, (col.ListViewColumn, col.FixedSizeListColumn)):
+            walk(path + ".item", c.child)
+
+    for f, c in zip(batch.schema.fields, batch.columns):
+        walk(f.name, c)
+    nodes = [column_to_layout(c) for c in batch.columns]
+    field_nodes, buffers, body = _batch_body_and_header(nodes)
+    n = int(batch.length)
+    meta = build_message_meta(
+        H_BATCH, lambda bb: _record_batch_header(bb, n, field_nodes, buffers), len(body)
+    )
+    out.append((meta, body))
+    return out
+
+
+class MessageDecoder:
+    """Streaming decoder over unframed (meta, body) pairs (reference
+    arrow-flight decode.rs FlightDataDecoder)."""
+
+    def __init__(self):
+        self.schema: Optional[st.Schema] = None
+        self._dict_info = None
+        self.dictionaries: Dict[str, col.Column] = {}
+
+    def decode(self, meta: bytes, body: bytes) -> Optional[bt.RecordBatch]:
+        msg = fb.Table.root(meta)
+        header_type = msg.scalar(1, "B", 0)
+        header_off = msg.offset(2)
+        header = fb.Table(msg.buf, header_off) if header_off is not None else None
+        if header_type == H_SCHEMA:
+            self.schema = _read_schema_fb(header)
+            self._dict_info = _dict_paths(self.schema)
+            return None
+        if header_type == H_DICT:
+            did = header.scalar(0, "q", 0)
+            rb = header.table(1)
+            path, vdt = self._dict_info[did]
+            vschema = st.Schema((st.Field("values", vdt),))
+            vb = _read_batch_columns(rb, body, vschema, {})
+            self.dictionaries[path] = vb.columns[0]
+            return None
+        if header_type == H_BATCH:
+            return _read_batch_columns(header, body, self.schema, self.dictionaries)
+        raise st.ArrowTpuError(f"IPC: unexpected message type {header_type}")
 
 
 def read_file(source) -> List[bt.RecordBatch]:
