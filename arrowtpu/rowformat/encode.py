@@ -101,21 +101,25 @@ def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.
         value_planes = [c.values_bool().astype(_U32)]
         valid = c.valid_bool()
     elif isinstance(c, col.StringViewColumn):
-        # prefix-plane ordering: correct only up to the stored prefix; use
-        # dictionary encoding for exact arbitrary-length string sorts.
-        # plane = first 4 bytes big-endian (reference stores a 4-byte
-        # prefix in the view for exactly this comparison fast path,
-        # arrow-ord/src/cmp.rs:864 prefix-first compare)
-        pref = c.views[:, 1]
-        # little-endian packed prefix -> big-endian integer order
-        b = pref
-        swapped = (
-            ((b & jnp.uint32(0xFF)) << 24)
-            | ((b & jnp.uint32(0xFF00)) << 8)
-            | ((b >> 8) & jnp.uint32(0xFF00))
-            | (b >> 24)
+        # exact varlen ordering: the full byte matrix as big-endian u32
+        # planes (zero-padded; memcmp order), with a final length plane to
+        # break ties among strings that differ only in trailing \0 bytes.
+        # This is the reference's varlen row encoding
+        # (arrow-row/src/variable.rs:94 block encoding) flattened into
+        # fixed-width vector lanes; plane count is static via len_bound.
+        from ..ops.strings import byte_matrix, max_byte_length
+
+        L = max_byte_length(c)
+        mat, lens = byte_matrix(c, L)
+        quads = mat.reshape(c.capacity, L // 4, 4).astype(_U32)
+        words = (
+            (quads[:, :, 0] << 24)
+            | (quads[:, :, 1] << 16)
+            | (quads[:, :, 2] << 8)
+            | quads[:, :, 3]
         )
-        value_planes = [swapped, c.views[:, 0]]  # prefix then length
+        value_planes = [words[:, k] for k in range(L // 4)]
+        value_planes.append(lens.astype(_U32))
         valid = c.valid_bool()
     elif isinstance(c, col.PrimitiveColumn):
         if c.wide is not None:

@@ -147,3 +147,36 @@ class TestRankPartition:
         b = ops.partition([at.from_pylist(data)])
         assert b.to_pylist() == [True, False, True, False, False, True]
         assert ops.partition_ranges(b) == [(0, 2), (2, 5), (5, 6)]
+
+
+class TestExactStringSort:
+    """Plain (non-dictionary) string columns now sort exactly via full
+    byte planes (reference varlen row encoding, arrow-row/src/variable.rs:94)."""
+
+    def test_vs_pyarrow(self, rng):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from arrowtpu.interop import from_pyarrow
+        from arrowtpu import ops
+
+        pool = ["", "a", "a\x00", "a\x00b", "ab", "abc", "abcd" * 8, "z", "ZZ", "zz" * 20]
+        vals = [pool[i] if rng.random() > 0.1 else None for i in rng.integers(0, len(pool), 500)]
+        arr = pa.array(vals)
+        c = from_pyarrow(arr)
+        idx = ops.sort_to_indices(c)
+        sorted_ours = ops.take(c, idx).to_pylist()
+        expect = sorted([v for v in vals if v is not None])
+        n_null = sum(v is None for v in vals)
+        # defaults: ascending, nulls first (SortOptions)
+        assert sorted_ours[:n_null] == [None] * n_null
+        assert sorted_ours[n_null:] == expect
+
+    def test_descending(self):
+        from arrowtpu import ops
+        from arrowtpu.config import SortOptions
+        import arrowtpu as at
+
+        c = at.from_pylist(["b", "a", None, "ab", "a\x00"])
+        idx = ops.sort_to_indices(c, SortOptions(descending=True, nulls_first=False))
+        got = ops.take(c, idx).to_pylist()
+        assert got == ["b", "ab", "a\x00", "a", None]
