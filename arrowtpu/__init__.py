@@ -36,6 +36,13 @@ from .core import (
     string_view,
     struct_column,
 )
+from .core import (
+    RunEndColumn,
+    UnionColumn,
+    run_end_encoded,
+    run_end_from_pylist,
+    union_column,
+)
 from . import interop
 from .interop import from_pyarrow, to_pyarrow
 from .schema import (

@@ -437,6 +437,105 @@ class NullColumn(Column):
         return [None] * self.concrete_length()
 
 
+@partial(
+    _register,
+    data_fields=["run_ends", "values", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class RunEndColumn(Column):
+    """Run-end encoded column (reference RunArray<R>,
+    arrow-array/src/array/run_array.rs; RunEndBuffer semantics
+    arrow-buffer/src/buffer/run.rs:97: run_ends[j] is the cumulative
+    *logical* end index of physical run j; logical row i lives in the
+    first run with run_ends > i — a searchsorted, the TPU-native form of
+    the reference's binary-searched get_physical_index run.rs:232).
+
+    Like the reference there is no top-level validity; nulls live on the
+    values column.  Physical runs occupy rows [0, n_runs) of the padded
+    run_ends/values arrays; padding run_ends are set to length so
+    searchsorted never selects them."""
+
+    run_ends: Array  # (run_capacity,) int32 cumulative logical ends
+    values: "Column"  # per-run values, length = n_runs
+    length: Array  # logical row count
+    dtype: st.RunEndEncoded
+
+    validity = None
+
+    @property
+    def capacity(self) -> int:
+        # Logical capacity is dynamic; report run capacity for memory use.
+        return self.run_ends.shape[0]
+
+    @property
+    def n_runs(self) -> Array:
+        return self.values.length
+
+    def physical_index(self, logical_idx: Array) -> Array:
+        """Map logical row index -> physical run index (run.rs:232)."""
+        return jnp.searchsorted(self.run_ends, logical_idx, side="right").astype(
+            jnp.int32
+        )
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        ends = np.asarray(self.run_ends)
+        vals = self.values.to_pylist()
+        out, run = [], 0
+        for i in range(n):
+            while run < len(ends) and i >= ends[run]:
+                run += 1
+            out.append(vals[run] if run < len(vals) else None)
+        return out
+
+
+@partial(
+    _register,
+    data_fields=["type_id_arr", "offsets", "children", "length"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class UnionColumn(Column):
+    """Sparse/dense union (reference UnionArray,
+    arrow-array/src/array/union_array.rs:123-126).  type_id_arr is int8
+    widened to int32 for VPU-native lanes; offsets present iff dense;
+    no top-level validity (like the reference — nullness lives in
+    children)."""
+
+    type_id_arr: Array  # (capacity,) int32 type codes per row
+    offsets: Optional[Array]  # (capacity,) int32 iff dense, else None
+    children: Tuple["Column", ...]
+    length: Array
+    dtype: st.Union
+
+    validity = None
+
+    @property
+    def capacity(self) -> int:
+        return self.type_id_arr.shape[0]
+
+    @property
+    def is_dense(self) -> bool:
+        return self.dtype.mode == "dense"
+
+    def child_by_type_id(self, type_id: int) -> "Column":
+        return self.children[self.dtype.child_index(type_id)]
+
+    def to_pylist(self):
+        n = self.concrete_length()
+        tids = np.asarray(self.type_id_arr)[:n]
+        offs = (
+            np.asarray(self.offsets)[:n]
+            if self.offsets is not None
+            else np.arange(n)
+        )
+        kids = [c.to_pylist() for c in self.children]
+        codes = self.dtype.type_ids or tuple(range(len(self.children)))
+        code_to_child = {t: i for i, t in enumerate(codes)}
+        return [kids[code_to_child[int(t)]][int(o)] for t, o in zip(tids, offs)]
+
+
 # ---------------------------------------------------------------------------
 # Constructors
 # ---------------------------------------------------------------------------
@@ -749,3 +848,63 @@ def _infer_dtype(probe) -> st.DataType:
         inner = next((x for x in probe if x is not None), None)
         return st.List(_infer_dtype(inner) if inner is not None else st.int64)
     raise st.InvalidArgumentError(f"cannot infer dtype from {type(probe)}")
+
+
+def run_end_encoded(run_ends, values: Column, length=None,
+                    dtype: st.RunEndEncoded = None) -> RunEndColumn:
+    """Build a RunEndColumn from cumulative run ends + per-run values
+    (reference RunArray::try_new, arrow-array/src/array/run_array.rs).
+    run_ends must be strictly increasing and positive; the last end is the
+    logical length."""
+    ends = np.asarray(run_ends, dtype=np.int32)
+    n_runs = ends.shape[0]
+    if n_runs and (np.any(np.diff(ends) <= 0) or ends[0] <= 0):
+        raise st.InvalidArgumentError(
+            "run_ends must be positive and strictly increasing (run.rs:97)"
+        )
+    logical_n = int(ends[-1]) if n_runs else 0
+    if length is None:
+        length = logical_n
+    cap = round_up(max(n_runs, 1))
+    # pad with the logical length so searchsorted never lands on padding
+    padded = np.full(cap, max(logical_n, 1), dtype=np.int32)
+    padded[:n_runs] = ends
+    if dtype is None:
+        dtype = st.RunEndEncoded(st.int32, values.dtype)
+    return RunEndColumn(jnp.asarray(padded), values, _as_length(length, cap), dtype)
+
+
+def run_end_from_pylist(data, value_dtype: st.DataType = None) -> RunEndColumn:
+    """Run-length compress a python list (reference RunArray::from_iter)."""
+    ends, vals = [], []
+    for i, x in enumerate(data):
+        if vals and x == vals[-1] and not (x is None) != (vals[-1] is None):
+            ends[-1] = i + 1
+        else:
+            vals.append(x)
+            ends.append(i + 1)
+    return run_end_encoded(
+        np.asarray(ends, np.int32), from_pylist(vals, value_dtype)
+    )
+
+
+def union_column(type_id_arr, children, dtype: st.Union, offsets=None,
+                 length=None) -> UnionColumn:
+    """Build a UnionColumn (reference UnionArray::try_new,
+    arrow-array/src/array/union_array.rs)."""
+    tids = np.asarray(type_id_arr, dtype=np.int32)
+    n = tids.shape[0]
+    cap = round_up(max(n, 1))
+    tids = np.pad(tids, (0, cap - n))
+    offs = None
+    if dtype.mode == "dense":
+        if offsets is None:
+            raise st.InvalidArgumentError("dense union requires offsets")
+        offs = np.asarray(offsets, dtype=np.int32)
+        offs = jnp.asarray(np.pad(offs, (0, cap - offs.shape[0])))
+    elif offsets is not None:
+        raise st.InvalidArgumentError("sparse union must not have offsets")
+    return UnionColumn(
+        jnp.asarray(tids), offs, tuple(children),
+        _as_length(n if length is None else length, cap), dtype,
+    )

@@ -74,3 +74,11 @@ from .numeric import (
     sub_checked,
 )
 from .zip import nullif, shift, zip_
+from . import dictionary as dictmod, ree, union as unionmod
+from .dictionary import (
+    garbage_collect_dictionary,
+    merge_dictionary_values,
+    should_merge_dictionary_values,
+)
+from .ree import run_end_decode, run_end_decode_to, run_end_encode, take_run
+from .union import take_union, union_extract

@@ -211,6 +211,45 @@ class Decimal128(DataType):
 
 
 @dataclasses.dataclass(frozen=True)
+class Decimal256(DataType):
+    """256-bit decimal (reference i256, arrow-buffer/src/bigint/mod.rs:63).
+    Physically eight uint32 limbs little-endian (capacity, 8) — the TPU has
+    no wide ints, so arithmetic is explicit carry math on u32 lanes
+    (core/wide.py i256 helpers)."""
+
+    precision: int = 76
+    scale: int = 10
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def __str__(self):
+        return f"decimal256({self.precision},{self.scale})"
+
+
+@dataclasses.dataclass(frozen=True)
+class Interval(DataType):
+    """Calendar interval (reference arrow-buffer/src/interval.rs;
+    DataType::Interval datatype.rs).  unit: "year_month" (1×i32),
+    "day_time" (2×i32 [days, ms]), "month_day_nano" (i32 months, i32 days,
+    i64 nanos — stored as 4×u32 [months, days, nano_lo, nano_hi])."""
+
+    unit: str = "month_day_nano"
+
+    def __post_init__(self):
+        if self.unit not in ("year_month", "day_time", "month_day_nano"):
+            raise SchemaError(f"bad interval unit {self.unit!r}")
+
+    @property
+    def n_words(self) -> int:
+        return {"year_month": 1, "day_time": 2, "month_day_nano": 4}[self.unit]
+
+    def __str__(self):
+        return f"interval[{self.unit}]"
+
+
+@dataclasses.dataclass(frozen=True)
 class Utf8(DataType):
     """String with view representation (reference Utf8View,
     arrow-schema/src/datatype.rs + arrow-data/src/byte_view.rs:70)."""
@@ -292,6 +331,48 @@ class Struct(DataType):
 
     def __str__(self):
         return "struct<" + ", ".join(f"{f.name}:{f.dtype}" for f in self.fields) + ">"
+
+
+@dataclasses.dataclass(frozen=True)
+class Union(DataType):
+    """Sparse or dense union (reference UnionArray,
+    arrow-array/src/array/union_array.rs:123-126: type_ids ScalarBuffer<i8>,
+    offsets iff dense, children; no top-level validity)."""
+
+    fields: Tuple["Field", ...] = ()
+    type_ids: Tuple[int, ...] = ()  # type code per child, parallel to fields
+    mode: str = "sparse"  # "sparse" | "dense"
+
+    def __post_init__(self):
+        if self.mode not in ("sparse", "dense"):
+            raise SchemaError(f"bad union mode {self.mode!r}")
+        if self.type_ids and len(self.type_ids) != len(self.fields):
+            raise SchemaError("union: type_ids must parallel fields")
+
+    def child_index(self, type_id: int) -> int:
+        ids = self.type_ids or tuple(range(len(self.fields)))
+        for i, t in enumerate(ids):
+            if t == type_id:
+                return i
+        raise SchemaError(f"union has no child with type_id {type_id}")
+
+    def __str__(self):
+        inner = ", ".join(f"{f.name}:{f.dtype}" for f in self.fields)
+        return f"union[{self.mode}]<{inner}>"
+
+
+@dataclasses.dataclass(frozen=True)
+class RunEndEncoded(DataType):
+    """Run-end encoded column (reference RunArray<R>,
+    arrow-array/src/array/run_array.rs; RunEndBuffer
+    arrow-buffer/src/buffer/run.rs:97: run_ends are cumulative logical end
+    indices)."""
+
+    run_end: DataType = dataclasses.field(default_factory=lambda: Int(32))
+    value: DataType = dataclasses.field(default_factory=lambda: Int(64))
+
+    def __str__(self):
+        return f"run_end_encoded<{self.run_end},{self.value}>"
 
 
 # Convenience constructors (mirror arrow's DataType::Int8..)
