@@ -12,6 +12,10 @@ partitioning + all-to-all shuffle over a jax.sharding Mesh.
 
 from . import config  # noqa: F401  (enables x64; must import first)
 from . import schema
+from . import dtype_parse, extension, tensor  # noqa: F401
+from .dtype_parse import parse_datatype  # noqa: F401
+from .tensor import Tensor  # noqa: F401
+from .tensor import tensor as make_tensor  # noqa: F401
 from .config import CastOptions, SortOptions, TakeOptions
 from .core import (
     BooleanColumn,
