@@ -45,6 +45,8 @@ MAGIC = b"PAR1"
 P_BOOL, P_I32, P_I64, P_I96, P_FLOAT, P_DOUBLE, P_BYTES, P_FLBA = range(8)
 # encodings
 E_PLAIN, E_PLAIN_DICT, E_RLE, E_RLE_DICT = 0, 2, 3, 8
+E_DELTA_BINARY_PACKED, E_DELTA_LENGTH_BYTE_ARRAY = 5, 6
+E_DELTA_BYTE_ARRAY, E_BYTE_STREAM_SPLIT = 7, 9
 # codecs
 C_NONE, C_SNAPPY, C_GZIP, C_ZSTD = 0, 1, 2, 6
 # converted types
@@ -281,6 +283,11 @@ class WriterProperties:
     data_page_row_limit: int = 1 << 20
     statistics_enabled: bool = True
     created_by: str = "arrowtpu parquet writer"
+    # reference properties.rs bloom filter + page index + encoding knobs
+    bloom_filter_columns: tuple = ()
+    bloom_filter_fpp: float = 0.01
+    write_page_index: bool = False
+    column_encoding: Optional[Dict[str, str]] = None  # name -> encoding
 
 
 def _plain_encode(vals: np.ndarray, phys: int) -> bytes:
@@ -338,7 +345,7 @@ def _bytes_plain(starts, lens, data) -> bytes:
 
 
 def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
-                  nullable: bool = True):
+                  nullable: bool = True, field_name: str = ""):
     """Write one column chunk; returns ColumnMetaData fields."""
     phys, conv = _physical(dt)
     codec = _CODEC_NAMES[props.compression]
@@ -351,6 +358,17 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     pages = []
     dict_page_offset = None
 
+    def _byte_list():
+        starts, lens, data = vals
+        return [data[s : s + l].tobytes() for s, l in zip(starts, lens)]
+
+    bloom_hashes = None
+    if field_name in (props.bloom_filter_columns or ()):
+        from . import parquet_ext as px
+
+        hv = _byte_list() if phys == P_BYTES else vals
+        bloom_hashes = px.hash_column_values(hv, phys)
+
     # definition levels (flat schema: level = valid ? 1 : 0); REQUIRED
     # columns carry no levels (parquet spec / reference column writer)
     if nullable:
@@ -361,8 +379,29 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
             raise st.ArrowTpuError("parquet: nulls in a non-nullable field")
         def_block = b""
 
+    # explicit encoding override (reference properties.rs set_column_encoding)
+    override = (props.column_encoding or {}).get(field_name)
+    if override:
+        from . import parquet_ext as px
+
+        if override == "delta_binary_packed" and phys in (P_I32, P_I64):
+            payload = px.delta_binary_packed_encode(vals)
+            enc = E_DELTA_BINARY_PACKED
+        elif override == "byte_stream_split" and phys in (P_I32, P_I64, P_FLOAT, P_DOUBLE):
+            payload = px.byte_stream_split_encode(vals)
+            enc = E_BYTE_STREAM_SPLIT
+        elif override == "delta_length_byte_array" and phys == P_BYTES:
+            payload = px.delta_length_byte_array_encode(_byte_list())
+            enc = E_DELTA_LENGTH_BYTE_ARRAY
+        else:
+            raise st.ArrowTpuError(
+                f"parquet: encoding {override!r} unsupported for physical type {phys}"
+            )
+        pages.append(("data", def_block + payload, n, enc))
+        encodings.append(enc)
+        use_dict = False
     # dictionary-first for byte_array (reference column/writer :1014)
-    use_dict = props.dictionary_enabled and phys == P_BYTES
+    use_dict = (not override) and props.dictionary_enabled and phys == P_BYTES
     if use_dict:
         starts, lens, data = vals
         nn = len(lens)
@@ -386,7 +425,7 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
             encodings += [E_RLE_DICT, E_PLAIN]
         else:
             use_dict = False
-    if not use_dict:
+    if not use_dict and not override:
         if phys == P_BYTES:
             starts, lens, data = vals
             payload = _bytes_plain(starts, lens, data)
@@ -399,6 +438,7 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     total_comp = 0
     total_uncomp = 0
     data_page_offset = None
+    page_locations = []  # (offset, compressed size incl header, first row)
     for page in pages:
         if page[0] == "dict":
             _, payload, nvals = page
@@ -415,6 +455,7 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
             hdr = _page_header_data(len(payload), len(comp), nvals, enc)
             if data_page_offset is None:
                 data_page_offset = out.tell()
+            page_locations.append((out.tell(), len(hdr) + len(comp), 0))
             out.write(hdr + comp)
             total_uncomp += len(hdr) + len(payload)
             total_comp += len(hdr) + len(comp)
@@ -427,6 +468,9 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
         else:
             stats = (None, None, num_nulls, phys)
     return {
+        "bloom_hashes": bloom_hashes,
+        "page_locations": page_locations,
+        "num_nulls": num_nulls,
         "type": phys,
         "encodings": encodings,
         "codec": codec,
@@ -506,7 +550,7 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
         n = int(batch.length)
         cols_meta = []
         for f, c in zip(schema.fields, batch.columns):
-            meta = _write_column(sink, c, f.dtype, props, f.nullable)
+            meta = _write_column(sink, c, f.dtype, props, f.nullable, f.name)
             meta["path"] = [f.name]
             meta["file_offset"] = meta["dictionary_page_offset"] or meta["data_page_offset"]
             cols_meta.append(meta)
@@ -517,6 +561,46 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
                 "num_rows": n,
             }
         )
+    # bloom filters after row-group data (reference file/writer.rs writes
+    # them before the footer; offsets recorded in ColumnMetaData 14/15)
+    for rg in row_groups:
+        for m in rg["columns"]:
+            if m["bloom_hashes"] is not None:
+                from . import parquet_ext as px
+
+                sbbf = px.Sbbf.with_ndv_fpp(
+                    len(m["bloom_hashes"]), props.bloom_filter_fpp
+                )
+                sbbf.insert_hashes(m["bloom_hashes"])
+                blob = sbbf.to_bytes()
+                m["bloom_filter_offset"] = sink.tell()
+                m["bloom_filter_length"] = len(blob)
+                sink.write(blob)
+    # page indexes between data and footer (parquet spec ordering;
+    # reference file/page_index/)
+    if props.write_page_index:
+        from . import parquet_ext as px
+
+        for rg in row_groups:
+            for m in rg["columns"]:
+                pages = [{
+                    "null_page": m["num_values"] == m["num_nulls"],
+                    "min": _stats_bytes(m["statistics"][0], m["type"])
+                    if m["statistics"] and m["statistics"][0] is not None else b"",
+                    "max": _stats_bytes(m["statistics"][1], m["type"])
+                    if m["statistics"] and m["statistics"][1] is not None else b"",
+                    "null_count": m["num_nulls"],
+                } for _ in m["page_locations"]]
+                blob = px.write_column_index(pages)
+                m["column_index_offset"] = sink.tell()
+                m["column_index_length"] = len(blob)
+                sink.write(blob)
+        for rg in row_groups:
+            for m in rg["columns"]:
+                blob = px.write_offset_index(m["page_locations"])
+                m["offset_index_offset"] = sink.tell()
+                m["offset_index_length"] = len(blob)
+                sink.write(blob)
     meta = _file_metadata(schema, row_groups, props)
     sink.write(meta)
     sink.write(struct.pack("<i", len(meta)))
@@ -577,7 +661,16 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> by
                     w.field_binary(5, _stats_bytes(mx, phys))  # max_value
                     w.field_binary(6, _stats_bytes(mn, phys))  # min_value
                 w.struct_end()
+            if m.get("bloom_filter_offset") is not None:
+                w.field_i64(14, m["bloom_filter_offset"])
+                w.field_i32(15, m["bloom_filter_length"])
             w.struct_end()
+            if m.get("offset_index_offset") is not None:
+                w.field_i64(4, m["offset_index_offset"])
+                w.field_i32(5, m["offset_index_length"])
+            if m.get("column_index_offset") is not None:
+                w.field_i64(6, m["column_index_offset"])
+                w.field_i32(7, m["column_index_length"])
             w.struct_end()
         w.field_i64(2, rg["total_byte_size"])
         w.field_i64(3, rg["num_rows"])
@@ -664,6 +757,53 @@ class ParquetFile:
         idx = self.schema.index_of(column)
         cm = self.row_groups[rg][1][idx][3]
         return _field_stats(cm, cm[1])
+
+    def bloom_filter(self, rg: int, column: str):
+        """Read the column chunk's SBBF, or None (reference
+        bloom_filter/mod.rs read path)."""
+        idx = self.schema.index_of(column)
+        cm = self.row_groups[rg][1][idx][3]
+        off = cm.get(14)
+        if off is None:
+            return None
+        from . import parquet_ext as px
+
+        return px.Sbbf.from_buffer(self.buf, off)
+
+    def bloom_might_contain(self, rg: int, column: str, value) -> bool:
+        """Pruning check: False means the value is definitely absent."""
+        sbbf = self.bloom_filter(rg, column)
+        if sbbf is None:
+            return True
+        from . import parquet_ext as px
+
+        idx = self.schema.index_of(column)
+        cm = self.row_groups[rg][1][idx][3]
+        if isinstance(value, str):
+            value = value.encode("utf-8")
+        vals = [value] if isinstance(value, bytes) else np.asarray([value])
+        h = px.hash_column_values(vals, cm[1])
+        return bool(sbbf.check_hashes(h)[0])
+
+    def column_index(self, rg: int, column: str):
+        """Per-page min/max/null statistics (reference page_index)."""
+        idx = self.schema.index_of(column)
+        chunk = self.row_groups[rg][1][idx]
+        if 6 not in chunk:
+            return None
+        from . import parquet_ext as px
+
+        return px.read_column_index(self.buf, chunk[6], chunk[7])
+
+    def offset_index(self, rg: int, column: str):
+        """Per-page (offset, compressed_size, first_row_index)."""
+        idx = self.schema.index_of(column)
+        chunk = self.row_groups[rg][1][idx]
+        if 4 not in chunk:
+            return None
+        from . import parquet_ext as px
+
+        return px.read_offset_index(self.buf, chunk[4], chunk[5])
 
     def read_row_group(self, rg_idx: int, columns: Optional[List[str]] = None) -> bt.RecordBatch:
         rg = self.row_groups[rg_idx]
@@ -757,6 +897,21 @@ class ParquetFile:
             else:
                 vals = dictionary[codes]
             return vals, valid
+        if enc == E_DELTA_BINARY_PACKED:
+            from . import parquet_ext as px
+
+            vals, _ = px.delta_binary_packed_decode(bytes(payload), count=n_non_null)
+            npdt = {P_I32: np.int32, P_I64: np.int64}[phys]
+            return vals.astype(npdt), valid
+        if enc == E_DELTA_LENGTH_BYTE_ARRAY:
+            from . import parquet_ext as px
+
+            return px.delta_length_byte_array_decode(bytes(payload), n_non_null), valid
+        if enc == E_BYTE_STREAM_SPLIT:
+            from . import parquet_ext as px
+
+            npdt = {P_I32: "<i4", P_I64: "<i8", P_FLOAT: "<f4", P_DOUBLE: "<f8"}[phys]
+            return px.byte_stream_split_decode(bytes(payload), npdt, n_non_null), valid
         if enc != E_PLAIN:
             raise st.ArrowTpuError(f"parquet: unsupported encoding {enc}")
         if phys == P_BOOL:

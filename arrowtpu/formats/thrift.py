@@ -97,6 +97,10 @@ class Writer:
             _uvarint(self.buf, n)
 
     # list element writers (no field headers inside lists)
+    def elem_bool(self, v: bool):
+        # compact protocol: bool list elements are one byte (1=true, 2=false)
+        self.buf.append(CT_TRUE if v else CT_FALSE)
+
     def elem_i32(self, v: int):
         _uvarint(self.buf, _zigzag(v) & 0xFFFFFFFFFFFFFFFF)
 
@@ -182,6 +186,9 @@ class Reader:
             etype = header & 0x0F
             if n == 15:
                 n = self._uvarint()
+            if etype in (CT_TRUE, CT_FALSE):
+                # bool list elements are one byte each (1=true, 2=false)
+                return [self._u8() == CT_TRUE for _ in range(n)]
             return [self._read_value(etype) for _ in range(n)]
         if ctype == CT_STRUCT:
             return self.read_struct()
