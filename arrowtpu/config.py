@@ -27,13 +27,27 @@ jax.config.update("jax_enable_x64", True)
 # tile-aligned capacities with an explicit row_count.
 CAPACITY_GRANULE = 128
 
+# The Pallas selection kernel (pallas/compact.py) walks planes in tiles of
+# this many words; columns at least this long get their capacity padded to a
+# tile multiple so the kernel applies without re-padding (pallas/compact.py
+# `supported`).  Shorter columns keep the 128-row granule and use the XLA
+# path — selection on tiny columns is not bandwidth-bound anyway.
+PALLAS_TILE = 16384
+
 # Bits per packed-bitmap word.  The reference iterates validity 64 bits at a
 # time (arrow-buffer/src/util/bit_chunk_iterator.rs); the TPU VPU prefers
 # 32-bit lanes.
 BITMAP_WORD_BITS = 32
 
 
-def round_up(n: int, m: int = CAPACITY_GRANULE) -> int:
+def round_up(n: int, m: int | None = None) -> int:
+    if m is None:
+        if n >= 4 * PALLAS_TILE:      # biggest kernel tile (tile_r=512)
+            m = 4 * PALLAS_TILE
+        elif n >= PALLAS_TILE:
+            m = PALLAS_TILE
+        else:
+            m = CAPACITY_GRANULE
     return -(-n // m) * m
 
 

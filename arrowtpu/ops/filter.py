@@ -6,21 +6,24 @@ prep_null_mask_filter :167 — a null predicate row selects nothing).
 
 TPU-native design (SURVEY §7): the reference's adaptive IterationStrategy
 (slices-vs-indices by selectivity, filter.rs:328) collapses into a single
-mask -> prefix-sum -> scatter-compaction pass, which is one fused
-bandwidth-bound kernel under XLA for every input type:
+mask -> compaction pass:
 
-    keep    = mask_values AND mask_validity AND row_bound
-    pos     = exclusive_prefix_sum(keep)            # output slot per row
-    out     = scatter(values, where(keep, pos, OOB))  # OOB rows dropped
-    length' = popcount(keep)
+  * On TPU backends, compaction runs in the Pallas kernel
+    (pallas/compact.py): per-tile rank/offset prefix sums on the MXU,
+    log-shift lane compaction + one-hot row-scatter matmuls, sequential
+    window appends — a bandwidth-bound streaming kernel.  Any fixed-width
+    plane lowers to it: 4-byte dtypes as u32 words; multi-word rows
+    (64-bit limb pairs, string views) as flat words with the keep mask
+    repeated; 1/2-byte dtypes as byte planes.
+  * Off-TPU (tests, host fallback) the same contract is computed with an
+    XLA prefix-sum + scatter (out.at[pos].set, mode='drop').
 
 Selection stays capacity-shaped (static) with a new traced length — the
 engine-wide answer to data-dependent output sizes (XLA static shapes).
 
 The FilterBuilder "optimize once, filter many columns" pattern
-(filter.rs:285) maps to `FilterPlan`, which precomputes keep/pos once and
-applies them to any number of columns (XLA CSE would do this anyway inside
-one jit, but the plan makes it explicit across jit boundaries).
+(filter.rs:285) maps to `FilterPlan`, which precomputes the keep mask and
+count once and applies them to any number of columns.
 """
 
 from __future__ import annotations
@@ -35,19 +38,31 @@ from .. import schema as st
 from ..core import batch as bt
 from ..core import bitmap as bm
 from ..core import column as col
+from ..pallas import compact as pc
 
 
 @dataclasses.dataclass(frozen=True)
 class FilterPlan:
-    """Precomputed selection (reference FilterPredicate, filter.rs:442)."""
+    """Precomputed selection (reference FilterPredicate, filter.rs:442).
+
+    `pos` (per-row output slot, an O(capacity) prefix sum) is only needed
+    by the XLA scatter fallback and by join materialization; it is None
+    until `positions()` computes it, so the Pallas path never pays for it.
+    """
 
     keep: jax.Array  # (capacity,) bool
-    pos: jax.Array  # (capacity,) int32 output slot
+    pos: Optional[jax.Array]  # (capacity,) int32 output slot, or None
     count: jax.Array  # scalar int32 selected rows
 
     @property
     def capacity(self) -> int:
         return self.keep.shape[0]
+
+    def positions(self) -> jax.Array:
+        if self.pos is not None:
+            return self.pos
+        incl = jnp.cumsum(self.keep.astype(jnp.int32))
+        return incl - 1
 
 
 jax.tree_util.register_dataclass(
@@ -63,16 +78,94 @@ def build_plan(mask: col.BooleanColumn) -> FilterPlan:
         # prep_null_mask_filter (filter.rs:167): null predicate -> false
         keep = keep & bm.unpack(mask.validity)
     keep = keep & bm.row_mask_bool(mask.capacity, mask.length)
-    incl = jnp.cumsum(keep.astype(jnp.int32))
-    pos = incl - 1  # inclusive-1 == exclusive prefix sum
-    return FilterPlan(keep, pos, incl[-1])
+    count = jnp.sum(keep, dtype=jnp.int32)
+    return FilterPlan(keep, None, count)
+
+
+# ---------------------------------------------------------------------------
+# plane compaction: Pallas fast path + XLA scatter fallback
+# ---------------------------------------------------------------------------
+
+
+def _pallas_eligible(values: jax.Array, capacity: int) -> bool:
+    if jax.default_backend() == "cpu":
+        return False
+    itemsize = jnp.dtype(values.dtype).itemsize
+    return pc.supported(values.shape[0]) and itemsize in (1, 2, 4, 8)
+
+
+def _pallas_compact(values: jax.Array, plan: FilterPlan) -> jax.Array:
+    """Compact (cap,) or (cap, W) values through the Pallas kernel.
+
+    Multi-word rows (64-bit limb pairs, string views) compact all W planes
+    in ONE kernel call with shared distance bookkeeping: XLA stores
+    (cap, W) arrays plane-major on TPU, so the (W, cap) transpose is a
+    layout no-op while any interleaved-flat view would be a real transpose
+    pass (measured ~12 ms on 8M x 2).
+    """
+    dt = values.dtype
+    isz = jnp.dtype(dt).itemsize
+    keep_u8 = plan.keep.astype(jnp.uint8)
+    n = values.shape[0]
+    tile_r = pc.pick_tile_r(n)
+    info = pc.tile_info(keep_u8, tile_r)
+
+    def go(planes, is_u32):
+        out, _ = pc.compact_planes_info(planes, keep_u8, info, tile_r,
+                                        is_u32=is_u32)
+        return out
+
+    if values.ndim == 2 and isz == 4:
+        w = values.shape[1]
+        p32 = jax.lax.bitcast_convert_type(values, jnp.uint32)
+        out = go(jnp.transpose(p32), True)            # (W, n)
+        return jax.lax.bitcast_convert_type(jnp.transpose(out), dt)
+    if values.ndim == 2:
+        planes = [
+            _pallas_compact_plane(values[:, j], keep_u8, info, tile_r, go)
+            for j in range(values.shape[1])
+        ]
+        return jnp.stack(planes, axis=-1)
+    return _pallas_compact_plane(values, keep_u8, info, tile_r, go)
+
+
+def _pallas_compact_plane(plane, keep_u8, info, tile_r, go):
+    dt = plane.dtype
+    isz = jnp.dtype(dt).itemsize
+    if dt == jnp.bool_:
+        return go(plane.astype(jnp.uint8)[None], False)[0] != 0
+    if isz == 1:
+        p8 = jax.lax.bitcast_convert_type(plane, jnp.uint8)
+        return jax.lax.bitcast_convert_type(go(p8[None], False)[0], dt)
+    if isz == 2:
+        # widen 16-bit to 32-bit: a byte-interleaved view would be a
+        # transpose pass; widening is two cheap elementwise converts
+        if dt == jnp.float16:
+            wide = jax.lax.bitcast_convert_type(
+                plane, jnp.uint16).astype(jnp.uint32)
+            out = go(wide[None], True)[0].astype(jnp.uint16)
+            return jax.lax.bitcast_convert_type(out, dt)
+        wide = plane.astype(jnp.uint32)
+        return go(wide[None], True)[0].astype(dt)
+    if isz == 4:
+        p32 = jax.lax.bitcast_convert_type(plane, jnp.uint32)
+        return jax.lax.bitcast_convert_type(go(p32[None], True)[0], dt)
+    # 8-byte plane: two u32 sub-planes, one shared call
+    p2 = jax.lax.bitcast_convert_type(plane, jnp.uint32)      # (n, 2)
+    out = go(jnp.transpose(p2), True)                          # (2, n)
+    return jax.lax.bitcast_convert_type(jnp.transpose(out), dt)
 
 
 def _scatter_compact(values: jax.Array, plan: FilterPlan) -> jax.Array:
-    """Scatter selected rows to the front; dropped rows go out-of-bounds
-    (mode='drop').  Works for any trailing value shape (views are (cap,4))."""
+    """Compact selected rows to the front.
+
+    Pallas streaming kernel on TPU; XLA scatter (mode='drop') elsewhere.
+    Works for any trailing value shape (views are (cap,4), limbs (cap,2)).
+    """
+    if _pallas_eligible(values, plan.capacity):
+        return _pallas_compact(values, plan)
     cap = plan.capacity
-    idx = jnp.where(plan.keep, plan.pos, cap)  # cap = OOB -> dropped
+    idx = jnp.where(plan.keep, plan.positions(), cap)  # cap = OOB -> dropped
     out = jnp.zeros_like(values)
     return out.at[idx].set(values, mode="drop")
 
@@ -121,8 +214,7 @@ def apply_plan(c: col.Column, plan: FilterPlan) -> col.Column:
         # expand the plan to child granularity
         size = c.dtype.size
         keep = jnp.repeat(plan.keep, size)
-        pos = (plan.pos[:, None] * size + jnp.arange(size, dtype=jnp.int32)).reshape(-1)
-        child_plan = FilterPlan(keep, pos, plan.count * size)
+        child_plan = FilterPlan(keep, None, plan.count * size)
         validity = _filter_validity(c, plan)
         return col.FixedSizeListColumn(
             apply_plan(c.child, child_plan), validity, new_len, c.dtype

@@ -9,4 +9,4 @@ appends, the TPU-native formulation (SURVEY §7 "selection as masks +
 prefix sums").
 """
 
-from .compact import compact_planes  # noqa: F401
+from .compact import TILE, compact_bytes, compact_words, supported  # noqa: F401

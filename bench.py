@@ -1,67 +1,95 @@
-"""Benchmark driver: BASELINE config 1 (filter on Int64 w/ 10% nulls,
-8M rows) against the chip's empirically measured HBM roofline.
+"""Benchmark driver: single-chip BASELINE configs vs the empirically
+measured HBM roofline.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": rows/s, "unit": "rows/s", "vs_baseline": ...}
-vs_baseline = (achieved fraction of HBM roofline) / 0.70, i.e. >= 1.0
-meets the BASELINE target of >=70% of roofline for the operator.
+Configs (BASELINE.md):
+  1. filter: SELECT on one Int64 column w/ 10% nulls, 8M rows (headline)
+  2. fused predicate: (a > b) AND (c % 7 == 0) AND (d <= 50), Int64 columns
+     with null propagation (Kleene)
+  3. lexsort (Int32, Float64, dict-Utf8) via row encoding
+  4. hash aggregate: GROUP BY low/high cardinality, SUM/COUNT/MIN
 
-Timing methodology: on this platform block_until_ready() returns before
-the device finishes (async tunnel dispatch), so we time K data-dependent
-dispatches bracketed by a host readback and take the slope (K2-K1)/(n2-n1).
+Prints ONE JSON line (headline = config 1):
+  {"metric": ..., "value": rows/s, "unit": "rows/s", "vs_baseline": ...,
+   "detail": {... all configs ...}}
+vs_baseline = (config-1 fraction of HBM roofline) / 0.70, i.e. >= 1.0 meets
+the >=70%-of-roofline BASELINE target.
+
+Timing: the device tunnel dispatch is asynchronous and jittery, so each
+measurement chains k data-dependent dispatches bracketed by a host readback
+and uses the median slope ((t_hi - t_lo) / (k_hi - k_lo)) over several
+repeats.
+
+Accounting: each config declares its semantic bytes/row (one read of the
+inputs + one write of the outputs the operation fundamentally requires);
+achieved GB/s = rows/s * bytes_per_row.  Extra passes the implementation
+makes count against it, honestly lowering the reported fraction.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def _chain_time(f, x, k_lo=3, k_hi=13, reps=3):
-    """Median per-op seconds via dependent-dispatch chaining."""
-
-    def run(k):
-        ts = []
-        for _ in range(reps):
-            y = x
-            t0 = time.perf_counter()
-            for _ in range(k):
-                y = f(y)
-            _sync(y)
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[reps // 2]
-
-    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
-
-
 def _sync(out):
     import jax
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel")][0]
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
+def chain_time(f, x, k_lo=3, k_hi=13, reps=5):
+    """Median-slope per-op seconds via dependent-dispatch chaining."""
+
+    def run(k):
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(k):
+            y = f(y)
+        _sync(y)
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    slopes = []
+    for _ in range(reps):
+        a = run(k_lo)
+        b = run(k_hi)
+        slopes.append((b - a) / (k_hi - k_lo))
+    slopes = sorted(slopes)
+    return slopes[len(slopes) // 2]
+
+
 def measure_roofline_gbs():
-    """Empirical HBM bandwidth: large elementwise pass (read+write) on
-    native 32-bit lanes."""
+    """Empirical HBM bandwidth: large elementwise pass (read+write)."""
     import jax
     import jax.numpy as jnp
 
     n = 128 * 1024 * 1024  # 512 MB read + 512 MB write
     x = jnp.arange(n, dtype=jnp.int32)
     f = jax.jit(lambda v: v + 1)
-    dt = _chain_time(f, x)
+    dt = chain_time(f, x, k_lo=2, k_hi=6, reps=3)
     return (n * 4 * 2) / dt / 1e9
 
 
-def main():
+def _int64_col(rng, n, lo, hi, null_density):
+    import arrowtpu as at
+
+    vals = rng.integers(lo, hi, n)
+    validity = None
+    if null_density > 0:
+        validity = at.bitmap.from_numpy_bools(rng.random(n) > null_density)
+    return at.primitive(vals, at.schema.int64, validity=validity, length=n), vals
+
+
+def config1_filter(n=8_000_000):
+    """filter on Int64 with 10% nulls; Pallas compaction path on TPU."""
     import jax
 
     import arrowtpu as at
     from arrowtpu import ops
 
     rng = np.random.default_rng(0)
-    n = 8_000_000
     vals = rng.integers(-1000, 1000, n)
     valid = rng.random(n) > 0.10
     c = at.primitive(
@@ -75,27 +103,238 @@ def main():
         # keep the chain data-dependent across dispatches
         return out.with_length(col.length)
 
-    dt = _chain_time(pipeline, c)
+    # correctness spot-check vs numpy before timing
+    from arrowtpu.core import wide
+    filtered = ops.filter_(c, ops.gt(c, 0))
+    got = wide.join_numpy(np.asarray(jax.device_get(filtered.values)), np.int64)
+    want = vals[valid & (vals > 0)]
+    assert int(filtered.length) == want.size, "config1: count mismatch"
+    assert np.array_equal(got[: want.size], want), "config1: values mismatch"
+    assert not got[want.size:].any(), "config1: padding not zeroed"
+
+    dt = chain_time(pipeline, c)
     rows_per_s = n / dt
-
-    # bytes touched per row: 8B limb read + 8B limb write + planes/bitmap
+    # 8B value read + 8B kept-value write (capacity write under the padding
+    # contract) + predicate/validity/mask bookkeeping
     bytes_per_row = 8 + 8 + 4.5
-    achieved_gbs = rows_per_s * bytes_per_row / 1e9
-    roofline_gbs = measure_roofline_gbs()
-    frac = achieved_gbs / roofline_gbs
-    vs_baseline = frac / 0.70
+    return {
+        "rows_per_s": rows_per_s,
+        "ms": dt * 1e3,
+        "bytes_per_row": bytes_per_row,
+        "achieved_GBps": rows_per_s * bytes_per_row / 1e9,
+    }
 
+
+def config2_fused_predicate(n=8_000_000):
+    """(a > b) AND (c % 7 == 0) AND (d <= 50) with Kleene null propagation."""
+    import jax
+
+    from arrowtpu import ops
+
+    rng = np.random.default_rng(1)
+    a, av = _int64_col(rng, n, -10**6, 10**6, 0.10)
+    b, bv = _int64_col(rng, n, -10**6, 10**6, 0.10)
+    c, cv = _int64_col(rng, n, 0, 10**6, 0.05)
+    d, dv = _int64_col(rng, n, 0, 100, 0.0)
+
+    @jax.jit
+    def predicate(cols):
+        a, b, c, d = cols
+        p = ops.and_kleene(ops.gt(a, b), ops.eq(ops.rem(c, 7), 0))
+        return ops.and_kleene(p, ops.lt_eq(d, 50))
+
+    out = predicate((a, b, c, d))
+    got = out.to_pylist()
+    a_ok = np.asarray(a.validity is not None and rng is not None)  # noqa
+    # correctness vs python Kleene on a sample
+    av_ok = np.asarray(jax.device_get((a.valid_bool())))
+    bv_ok = np.asarray(jax.device_get((b.valid_bool())))
+    cv_ok = np.asarray(jax.device_get((c.valid_bool())))
+
+    def kleene_and(x, y):
+        if x is False or y is False:
+            return False
+        if x is None or y is None:
+            return None
+        return True
+
+    for i in rng.integers(0, n, 200):
+        t1 = (av[i] > bv[i]) if (av_ok[i] and bv_ok[i]) else None
+        t2 = (cv[i] % 7 == 0) if cv_ok[i] else None
+        t3 = dv[i] <= 50
+        want = kleene_and(kleene_and(t1, t2), t3)
+        assert got[i] == want, f"config2 mismatch at {i}: {got[i]} != {want}"
+
+    @jax.jit
+    def chained(cols):
+        a, b, c, d = cols
+        p = predicate(cols)
+        # fold the mask back into `a` to keep the chain data-dependent
+        bump = (p.values[0] & 0).astype(a.values.dtype)
+        import dataclasses as dc
+        return (dc.replace(a, values=a.values + bump), b, c, d)
+
+    dt = chain_time(chained, (a, b, c, d))
+    rows_per_s = n / dt
+    bytes_per_row = 4 * 8 + 4 * 0.125 + 0.25  # 4 col reads + bitmaps + mask
+    return {
+        "rows_per_s": rows_per_s,
+        "ms": dt * 1e3,
+        "bytes_per_row": bytes_per_row,
+        "achieved_GBps": rows_per_s * bytes_per_row / 1e9,
+    }
+
+
+def config3_lexsort(n=32_000_000):
+    """lexsort_to_indices on (Int32, Float64, dict-Utf8) via row encoding.
+
+    BASELINE names 100M rows; 32M keeps the per-round bench under control
+    while already HBM-resident (see --configs to run custom sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    import arrowtpu as at
+    from arrowtpu import ops, schema as st
+    from arrowtpu.core import column as cc
+    from arrowtpu.core import wide
+
+    rng = np.random.default_rng(2)
+    i32 = rng.integers(-100, 100, n, dtype=np.int32)  # narrow: forces ties
+    f64 = np.round(rng.standard_normal(n), 2)
+    keys = rng.integers(0, 1000, n, dtype=np.int32)
+    words = [f"w{i:03d}" for i in range(1000)]       # sorted: rank == index
+
+    c1 = at.primitive(i32, at.schema.int32, length=n)
+    c2 = at.primitive(f64, at.schema.float64, length=n)
+    values = cc.string_view(words)
+    dc = cc.DictionaryColumn(
+        at.primitive(keys, at.schema.int32, length=n),
+        values,
+        jnp.arange(values.capacity, dtype=jnp.int32),
+        st.Dictionary(st.int32, st.utf8),
+    )
+
+    @jax.jit
+    def dosort(cols):
+        c1, c2, dc = cols
+        idx = ops.lexsort_to_indices([c1, c2, dc])
+        import dataclasses as d_
+        bump = (idx.values[0] & 0).astype(c1.values.dtype)
+        return (d_.replace(c1, values=c1.values + bump), c2, dc), idx
+
+    (_, idx) = dosort((c1, c2, dc))
+    got = np.asarray(jax.device_get(idx.values))[:n]
+    want = np.lexsort((keys, f64, i32))  # last key is primary in numpy
+    ok = np.array_equal(got, want)
+    if not ok:
+        # ties between equal (i32, f64, word) triples may order differently
+        # only if the sort were unstable; ours is stable, so require equality
+        raise AssertionError("config3: lexsort mismatch vs numpy")
+
+    dt = chain_time(lambda s: dosort(s[0]), ((c1, c2, dc), idx),
+                    k_lo=1, k_hi=4, reps=3)
+    rows_per_s = n / dt
+    bytes_per_row = 4 + 8 + 4 + 4  # read 3 key columns + write index vector
+    return {
+        "rows_per_s": rows_per_s,
+        "ms": dt * 1e3,
+        "rows": n,
+        "bytes_per_row": bytes_per_row,
+        "achieved_GBps": rows_per_s * bytes_per_row / 1e9,
+    }
+
+
+def config4_hash_agg(n=8_000_000):
+    """GROUP BY (low and high cardinality) + SUM/COUNT/MIN."""
+    import dataclasses as dcl
+
+    import jax
+
+    import arrowtpu as at
+    from arrowtpu.ops import groupby
+
+    out = {}
+    for label, cardinality in (("low_card", 100), ("high_card", 1_000_000)):
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, cardinality, n, dtype=np.int32)
+        vals = rng.integers(-1000, 1000, n)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n),
+        })
+
+        def agg(b):
+            return groupby.group_by(
+                b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
+
+        # correctness vs numpy (sum per key)
+        res = agg(b)
+        got_k = np.asarray(res["k"].to_pylist())
+        got_s = np.asarray(res["sum_v"].to_pylist())
+        order = np.argsort(got_k)
+        uk = np.unique(keys)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, np.searchsorted(uk, keys), vals)
+        assert np.array_equal(np.sort(got_k), uk), f"config4 {label}: keys"
+        assert np.array_equal(got_s[order], sums), f"config4 {label}: sums"
+
+        @jax.jit
+        def chained(b):
+            res = agg(b)
+            v = b["v"]
+            bump = (res["sum_v"].values[0, 0] & 0).astype(v.values.dtype)
+            v2 = dcl.replace(v, values=v.values + bump)
+            cols = tuple(v2 if c is v else c for c in b.columns)
+            from arrowtpu.core.batch import RecordBatch
+            return RecordBatch(b.schema, cols)
+
+        dt = chain_time(chained, b, k_lo=1, k_hi=4, reps=3)
+        rows_per_s = n / dt
+        bytes_per_row = 4 + 8 + 0.1  # key read + value read + small output
+        out[label] = {
+            "rows_per_s": round(rows_per_s, 1),
+            "ms": round(dt * 1e3, 3),
+            "cardinality": cardinality,
+            "bytes_per_row": bytes_per_row,
+            "achieved_GBps": round(rows_per_s * bytes_per_row / 1e9, 1),
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4", help="comma list of 1..4")
+    args = ap.parse_args()
+    which = set(int(x) for x in args.configs.split(","))
+
+    roofline = measure_roofline_gbs()
+    detail = {"empirical_roofline_GBps": round(roofline, 1)}
+
+    runners = {1: config1_filter, 2: config2_fused_predicate,
+               3: config3_lexsort, 4: config4_hash_agg}
+    for i in sorted(which):
+        try:
+            r = runners[i]()
+            if i == 4:
+                for sub in r.values():
+                    sub["roofline_fraction"] = round(
+                        sub["achieved_GBps"] / roofline, 3)
+            else:
+                r["roofline_fraction"] = round(r["achieved_GBps"] / roofline, 3)
+                for k in ("rows_per_s", "ms", "achieved_GBps"):
+                    r[k] = round(r[k], 3 if k == "ms" else 1)
+            detail[f"config{i}"] = r
+        except Exception as e:  # pragma: no cover
+            detail[f"config{i}"] = {"error": f"{type(e).__name__}: {e}"}
+
+    c1 = detail.get("config1", {})
+    frac = c1.get("roofline_fraction", 0.0) or 0.0
     print(json.dumps({
         "metric": "filter8M_int64_rows_per_s",
-        "value": round(rows_per_s, 0),
+        "value": c1.get("rows_per_s", 0.0),
         "unit": "rows/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "detail": {
-            "ms_per_filter": round(dt * 1e3, 3),
-            "achieved_GBps": round(achieved_gbs, 1),
-            "empirical_roofline_GBps": round(roofline_gbs, 1),
-            "roofline_fraction": round(frac, 3),
-        },
+        "vs_baseline": round(frac / 0.70, 3),
+        "detail": detail,
     }))
 
 
