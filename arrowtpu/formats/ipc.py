@@ -657,8 +657,17 @@ def write_file(batches, schema: st.Schema = None, sink=None) -> Optional[bytes]:
     return sink.getvalue() if own else None
 
 
-def read_stream(source) -> List[bt.RecordBatch]:
-    return list(StreamReader(source))
+def read_stream(source, *, validate: bool = False) -> List[bt.RecordBatch]:
+    """validate=True runs the device-side untrusted-input checks
+    (core/validate.py; reference ArrayData::validate_full via the IPC
+    reader's skip_validation default, arrow-ipc/src/reader.rs)."""
+    out = list(StreamReader(source))
+    if validate:
+        from ..core.validate import check_batch
+
+        for b in out:
+            check_batch(b)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -747,5 +756,11 @@ class MessageDecoder:
         raise st.ArrowTpuError(f"IPC: unexpected message type {header_type}")
 
 
-def read_file(source) -> List[bt.RecordBatch]:
-    return list(FileReader(source))
+def read_file(source, *, validate: bool = False) -> List[bt.RecordBatch]:
+    out = list(FileReader(source))
+    if validate:
+        from ..core.validate import check_batch
+
+        for b in out:
+            check_batch(b)
+    return out

@@ -970,5 +970,11 @@ def _assemble(values, valid: np.ndarray, phys: int, dt: st.DataType, num_rows: i
     return col.primitive(full.astype(dt.to_jnp().name), dt, validity=validity, capacity=cap)
 
 
-def read_parquet(source, columns: Optional[List[str]] = None) -> bt.RecordBatch:
-    return ParquetFile(source).read(columns)
+def read_parquet(source, columns: Optional[List[str]] = None, *,
+                 validate: bool = False) -> bt.RecordBatch:
+    out = ParquetFile(source).read(columns)
+    if validate:
+        from ..core.validate import check_batch
+
+        check_batch(out)
+    return out

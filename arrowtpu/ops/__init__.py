@@ -82,3 +82,7 @@ from .dictionary import (
 )
 from .ree import run_end_decode, run_end_decode_to, run_end_encode, take_run
 from .union import take_union, union_extract
+from . import merge as mergemod
+from .merge import merge_batches, merge_indices, merge_n
+from . import join as joinmod
+from .join import JoinInfo, hash_join

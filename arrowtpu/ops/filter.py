@@ -48,11 +48,18 @@ class FilterPlan:
     `pos` (per-row output slot, an O(capacity) prefix sum) is only needed
     by the XLA scatter fallback and by join materialization; it is None
     until `positions()` computes it, so the Pallas path never pays for it.
+
+    `folded_validity`: the packed validity words that were ANDed into
+    `keep` (prep_null_mask_filter).  When a filtered column's validity IS
+    this object, every kept row is valid, so the output needs no validity
+    bitmap at all — the compaction pass over the validity plane (unpack /
+    kernel / repack) is skipped entirely.
     """
 
     keep: jax.Array  # (capacity,) bool
     pos: Optional[jax.Array]  # (capacity,) int32 output slot, or None
     count: jax.Array  # scalar int32 selected rows
+    folded_validity: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -66,7 +73,8 @@ class FilterPlan:
 
 
 jax.tree_util.register_dataclass(
-    FilterPlan, data_fields=["keep", "pos", "count"], meta_fields=[]
+    FilterPlan, data_fields=["keep", "pos", "count", "folded_validity"],
+    meta_fields=[],
 )
 
 
@@ -79,7 +87,7 @@ def build_plan(mask: col.BooleanColumn) -> FilterPlan:
         keep = keep & bm.unpack(mask.validity)
     keep = keep & bm.row_mask_bool(mask.capacity, mask.length)
     count = jnp.sum(keep, dtype=jnp.int32)
-    return FilterPlan(keep, None, count)
+    return FilterPlan(keep, None, count, mask.validity)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +232,10 @@ def apply_plan(c: col.Column, plan: FilterPlan) -> col.Column:
 
 def _filter_validity(c: col.Column, plan: FilterPlan) -> Optional[jax.Array]:
     if c.validity is None:
+        return None
+    if plan.folded_validity is c.validity:
+        # keep already folded this exact bitmap to false (build_plan), so
+        # every kept row is valid: no output bitmap, no compaction pass
         return None
     ok = bm.unpack(c.validity)
     return bm.pack(_scatter_compact(ok, plan))

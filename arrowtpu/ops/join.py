@@ -1,34 +1,42 @@
-"""Hash equi-join: HBM open-addressing build/probe.
+"""Hash equi-join: HBM open-addressing build/probe with general N:M output.
 
 The reference has no join (BASELINE names the hash build/probe layer as
 first-class new work; the reference's contribution is the key layout —
-row-format planes — and the selection algebra used to materialize
-results).  Single-chip kernel here; the distributed layer
-(parallel.distributed) wraps it with hash partitioning + all-to-all.
+row-format planes, arrow-row/src/lib.rs:568 — and the selection algebra
+used to materialize results).  Single-chip kernel here; the distributed
+layer (parallel.distributed) wraps it with hash partitioning + all-to-all
+and hot-key handling.
 
 Design (TPU-first):
   * keys -> order-preserving uint32 planes (rowformat.encode) -> murmur
     hash (rowformat.hashing).  SQL semantics: a NULL key never matches.
-  * build: open-addressing table of size next_pow2(2*capacity) in HBM,
-    slots hold build row-ids.  Insertion is a vectorized linear-probe
-    loop (lax.while_loop): every pending row scatter-mins its row-id into
-    its candidate slot; winners retire; losers bump their probe offset.
-    Terminates in O(max chain) rounds, each a full-vector scatter/gather —
-    no per-row serial loop.
+  * build, two structures sharing the key planes:
+      1. an open-addressing table of size next_pow2(2*capacity) in HBM
+         whose slots hold ONE representative build row-id per distinct
+         key.  Insertion is a vectorized linear-probe loop
+         (lax.while_loop): every pending row scatter-mins its row-id into
+         its candidate slot; winners retire; rows that meet an equal key
+         retire too (the group is reachable through the representative).
+         Terminates in O(max chain) rounds, each a full-vector
+         scatter/gather — no per-row serial loop.
+      2. a *group index*: build rows stable-sorted by key planes
+         (jax.lax.sort), plus per-row group start/size in that order.
+         Any member row-id (e.g. the table representative) indexes the
+         whole duplicate group — this is what lifts the join to N:M.
   * probe: vectorized chase — gather slot, compare planes, advance
-    colliding rows until all resolved.
-  * duplicate build keys: first occurrence wins and a traced
-    `duplicates` flag reports that the build side was not unique (PK-join
-    contract; N:M join lands with the sort-merge path).
-
-Outputs use the engine's selection machinery: inner join = FilterPlan
-compaction of matched probe rows + take() on both sides.
+    colliding rows until all resolved -> representative row id or -1.
+  * N:M expansion: per-probe match counts -> cumsum -> each output slot
+    finds its probe row by searchsorted and its duplicate ordinal by
+    offset arithmetic; both sides materialize with take() gathers.
+    Output is capacity+count shaped (static out_capacity, traced total,
+    traced overflow flag) — the engine-wide answer to data-dependent
+    sizes.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,25 +65,86 @@ def _key_planes_and_valid(columns: Sequence[col.Column]):
     for c in columns:
         if c.validity is not None:
             valid = valid & bm.unpack(c.validity)
+        elif isinstance(c, col.DictionaryColumn) and c.keys.validity is not None:
+            valid = valid & bm.unpack(c.keys.validity)
     return planes, valid
 
 
 @dataclasses.dataclass(frozen=True)
-class HashTable:
-    """Built hash side (reference-free; new component)."""
+class JoinInfo:
+    """Traced join diagnostics.
 
-    slots: jax.Array  # (table_size,) int32 build row id or -1
+    duplicates: build keys were not unique (informational — N:M output is
+    still exact).  overflow: the true output row count exceeded
+    out_capacity and rows were truncated; callers re-run with a larger
+    capacity (capacity+count contract)."""
+
+    duplicates: jax.Array
+    overflow: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    JoinInfo, data_fields=["duplicates", "overflow"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashTable:
+    """Built hash side: representative table + duplicate-group index."""
+
+    slots: jax.Array  # (table_size,) int32 representative build row id or -1
     hashes: jax.Array  # (build_cap,) uint32
     planes: Tuple[jax.Array, ...]  # build key planes
     valid: jax.Array  # (build_cap,) bool
     duplicates: jax.Array  # traced bool: build keys not unique
+    order: jax.Array  # (build_cap,) int32 row ids sorted by key
+    grp_start: jax.Array  # (build_cap,) int32 per-ROW group start in `order`
+    grp_size: jax.Array  # (build_cap,) int32 per-ROW group size
 
 
 jax.tree_util.register_dataclass(
     HashTable,
-    data_fields=["slots", "hashes", "planes", "valid", "duplicates"],
+    data_fields=[
+        "slots", "hashes", "planes", "valid", "duplicates",
+        "order", "grp_start", "grp_size",
+    ],
     meta_fields=[],
 )
+
+
+def _group_index(planes: List[jax.Array], valid: jax.Array):
+    """Stable-sort rows by key; compute per-row group start/size.
+
+    The duplicate-group index is the sort+partition trick of
+    arrow-ord/src/partition.rs:127 applied to build keys: equal keys are
+    adjacent after the sort, group boundaries are plane inequality with
+    the previous row."""
+    cap = valid.shape[0]
+    pad = (~valid).astype(jnp.uint32)  # invalid rows sort last
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    operands = [pad] + list(planes) + [iota]
+    out = jax.lax.sort(operands, dimension=0, is_stable=True,
+                       num_keys=len(operands) - 1)
+    order = out[-1]
+    sorted_keys = out[:-1]  # pad plane + value planes, already sorted
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    neq_prev = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                                jnp.zeros(cap - 1, jnp.bool_)])
+    for p in sorted_keys:
+        neq_prev = neq_prev | jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), p[1:] != p[:-1]]
+        )
+    start_sorted = jax.lax.cummax(jnp.where(neq_prev, pos, 0))
+    # group end = next boundary at or after pos+1 (suffix-min trick)
+    nxt = jnp.concatenate([
+        jnp.where(neq_prev[1:], pos[1:], jnp.int32(cap)),
+        jnp.array([cap], jnp.int32),
+    ])
+    end_sorted = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    size_sorted = end_sorted - start_sorted
+    grp_start = jnp.zeros(cap, jnp.int32).at[order].set(start_sorted)
+    grp_size = jnp.zeros(cap, jnp.int32).at[order].set(size_sorted)
+    return order, grp_start, grp_size
 
 
 def build_table(key_cols: Sequence[col.Column], *, slack: int = 2) -> HashTable:
@@ -121,19 +190,21 @@ def build_table(key_cols: Sequence[col.Column], *, slack: int = 2) -> HashTable:
             & planes_eq(jnp.clip(occupant, 0, cap - 1), rowid)
         )
         dup = dup | jnp.any(same_key)
-        pending2 = pending & ~won & ~same_key  # dup keys retire, first wins
-        offset2 = jnp.where(pending2, offset + 1, offset)
+        pending2 = pending & ~won & ~same_key  # dup keys retire: the group
+        offset2 = jnp.where(pending2, offset + 1, offset)  # index covers them
         return slots2, pending2, offset2, dup
 
     slots, _, _, dup = jax.lax.while_loop(
         cond, body, (slots0, pending0, offset0, dup0)
     )
     slots = jnp.where(slots == EMPTY, jnp.int32(-1), slots)
-    return HashTable(slots, h, tuple(planes), valid, dup)
+    order, grp_start, grp_size = _group_index(planes, valid)
+    return HashTable(slots, h, tuple(planes), valid, dup,
+                     order, grp_start, grp_size)
 
 
 def probe_table(table: HashTable, key_cols: Sequence[col.Column]) -> jax.Array:
-    """Returns (probe_cap,) int32: matching build row id, or -1."""
+    """Returns (probe_cap,) int32: representative build row id, or -1."""
     cap = key_cols[0].capacity
     size = table.slots.shape[0]
     mask = jnp.uint32(size - 1)
@@ -175,6 +246,40 @@ def probe_table(table: HashTable, key_cols: Sequence[col.Column]) -> jax.Array:
     return result
 
 
+def _expand_matches(table: HashTable, match: jax.Array, probe_live: jax.Array,
+                    out_cap: int, *, keep_unmatched: bool):
+    """N:M expansion: output slot j -> (probe row, build row or -1).
+
+    counts[i] = group size of probe i's match (1 for unmatched rows when
+    keep_unmatched, i.e. LEFT join).  Slot j's probe row is the
+    searchsorted bucket of j in cumsum(counts); its ordinal within the
+    group picks the concrete duplicate via the sorted group index."""
+    probe_cap = match.shape[0]
+    build_cap = table.valid.shape[0]
+    matched = (match >= 0) & probe_live
+    m = jnp.clip(match, 0, build_cap - 1)
+    sizes = table.grp_size[m]
+    if keep_unmatched:
+        counts = jnp.where(probe_live, jnp.where(matched, sizes, 1), 0)
+    else:
+        counts = jnp.where(matched, sizes, 0)
+    ends = jnp.cumsum(counts.astype(jnp.int32))
+    total = ends[-1]
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    pi = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    pic = jnp.clip(pi, 0, probe_cap - 1)
+    begin = ends[pic] - counts[pic]
+    k = j - begin
+    ok = j < jnp.minimum(total, jnp.int32(out_cap))
+    sorted_pos = jnp.clip(table.grp_start[m[pic]] + k, 0, build_cap - 1)
+    brow = table.order[sorted_pos]
+    left_idx = jnp.where(ok, pic, -1)
+    right_idx = jnp.where(ok & matched[pic], brow, -1)
+    overflow = total > jnp.int32(out_cap)
+    out_len = jnp.minimum(total, jnp.int32(out_cap))
+    return left_idx, right_idx, out_len, overflow
+
+
 def _suffix_names(schema_l: st.Schema, schema_r: st.Schema):
     left_names = set(schema_l.names)
     return [
@@ -184,9 +289,15 @@ def _suffix_names(schema_l: st.Schema, schema_r: st.Schema):
 
 def hash_join(left: bt.RecordBatch, right: bt.RecordBatch,
               on: Sequence[str], *, how: str = "inner",
-              right_on: Sequence[str] | None = None):
-    """PK equi-join: right (build) side keys must be unique.
-    how in {inner, left, semi, anti}.  Returns (batch, duplicates_flag)."""
+              right_on: Sequence[str] | None = None,
+              out_capacity: Optional[int] = None):
+    """General N:M equi-join (build side = right; duplicate build keys
+    produce one output row per pair, like SQL / pandas.merge).
+    how in {inner, left, semi, anti}.  Returns (batch, JoinInfo).
+
+    out_capacity (inner/left only): static output capacity; the traced
+    JoinInfo.overflow reports truncation.  Defaults to left.capacity
+    (exact when build keys are unique)."""
     right_on = list(right_on or on)
     table = build_table([right[k] for k in right_on])
     match = probe_table(table, [left[k] for k in on])
@@ -200,33 +311,32 @@ def hash_join(left: bt.RecordBatch, right: bt.RecordBatch,
         out = bt.RecordBatch(
             left.schema, tuple(apply_plan(c, plan) for c in left.columns)
         )
-        return out, table.duplicates
+        return out, JoinInfo(table.duplicates, jnp.zeros((), jnp.bool_))
 
-    if how == "inner":
-        keepb = matched & bm.row_mask_bool(left.capacity, left.length)
-        plan = _plan_from_bool(keepb, left.capacity, left.length)
-        left_cols = [apply_plan(c, plan) for c in left.columns]
-        match_col = col.PrimitiveColumn(
-            _scatter_vals(match, plan), None, plan.count, st.int32
-        )
-    elif how == "left":
-        keepb = bm.row_mask_bool(left.capacity, left.length)
-        left_cols = list(left.columns)
-        match_col = col.PrimitiveColumn(
-            match, bm.pack(matched & keepb), left.length, st.int32
-        )
-    else:
+    if how not in ("inner", "left"):
         raise st.ComputeError(f"join: unknown how={how!r}")
 
+    from ..config import round_up
+
+    out_cap = round_up(out_capacity if out_capacity is not None
+                       else left.capacity)
+    probe_live = bm.row_mask_bool(left.capacity, left.length)
+    left_idx, right_idx, out_len, overflow = _expand_matches(
+        table, match, probe_live, out_cap, keep_unmatched=(how == "left")
+    )
+    lidx = col.PrimitiveColumn(left_idx, None, out_len, st.int32)
+    ridx = col.PrimitiveColumn(right_idx, None, out_len, st.int32)
+    left_cols = [take(c, lidx) for c in left.columns]
+
     right_keep = [n for n in right.schema.names if n not in set(right_on)]
-    right_cols = [take(right[n], match_col) for n in right_keep]
+    right_cols = [take(right[n], ridx) for n in right_keep]
     out_names = _dedup_names(left.schema.names, right_keep)
     fields = list(left.schema.fields) + [
         st.Field(nm, c.dtype) for nm, c in zip(out_names, right_cols)
     ]
     return (
         bt.RecordBatch(st.Schema(tuple(fields)), tuple(left_cols) + tuple(right_cols)),
-        table.duplicates,
+        JoinInfo(table.duplicates, overflow),
     )
 
 
@@ -238,9 +348,3 @@ def _dedup_names(left_names, right_names):
 def _plan_from_bool(keep, cap, length):
     incl = jnp.cumsum(keep.astype(jnp.int32))
     return FilterPlan(keep, incl - 1, incl[-1])
-
-
-def _scatter_vals(values, plan: FilterPlan):
-    cap = plan.keep.shape[0]
-    idx = jnp.where(plan.keep, plan.pos, cap)
-    return jnp.zeros_like(values).at[idx].set(values, mode="drop")

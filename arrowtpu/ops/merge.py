@@ -1,0 +1,100 @@
+"""k-way sorted merge.
+
+Capability mirror of /root/reference/arrow-select/src/merge.rs
+(merge_n :35, MergeIndex :109): materialize one output from k sorted
+sources given a (source, row) merge index.
+
+TPU-native design: a serial k-way heap walk is anti-vector, so the merge
+index is *computed* with the engine's own sort machinery — the inputs
+being pre-sorted makes the padded-concat + stable radix/lexsort pass
+cheap (XLA's TPU sort is bandwidth-bound on nearly-sorted planes) and,
+unlike a heap, it vectorizes.  Materialization from the merge index is
+`interleave`, exactly as the reference materializes MergeIndex rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from .. import schema as st
+from ..config import SortOptions
+from ..core import batch as bt
+from ..core import column as col
+from ..rowformat import encode as rf
+from .concat import concat_full_capacity, interleave
+from .sort import _sorted_iota
+
+
+def merge_indices(columns_per_source: Sequence[Sequence[col.Column]],
+                  options: Optional[Sequence[SortOptions]] = None
+                  ) -> Tuple[col.PrimitiveColumn, col.PrimitiveColumn]:
+    """Compute the merge index for k sources pre-sorted on their key
+    columns.  Returns (source_idx, row_idx) int32 columns (the reference's
+    MergeIndex pairs, merge.rs:109), stable across equal keys (earlier
+    sources win)."""
+    k = len(columns_per_source)
+    if k == 0:
+        raise st.ComputeError("merge: no sources")
+    ncols = len(columns_per_source[0])
+    caps = [cs[0].capacity for cs in columns_per_source]
+    total_cap = sum(caps)
+
+    # concatenated key planes, per key column (capacity-padded concat)
+    all_planes: List[jnp.ndarray] = []
+    opts = list(options) if options is not None else [SortOptions()] * ncols
+    for j in range(ncols):
+        merged_col = concat_full_capacity([cs[j] for cs in columns_per_source])
+        all_planes.extend(rf.encode_column(merged_col, opts[j]))
+
+    length = sum((cs[0].length for cs in columns_per_source[1:]),
+                 columns_per_source[0][0].length)
+    # padding rows of each source must sort last: the concat kept them in
+    # place, so build the live mask from per-source lengths
+    from ..core import bitmap as bm
+
+    live = jnp.zeros(total_cap, dtype=jnp.bool_)
+    off = 0
+    for cs in columns_per_source:
+        cap_i = cs[0].capacity
+        seg = bm.row_mask_bool(cap_i, cs[0].length)
+        live = live.at[off:off + cap_i].set(seg)
+        off += cap_i
+    pad = (~live).astype(jnp.uint32)
+    iota = jnp.arange(total_cap, dtype=jnp.int32)
+    import jax
+
+    out = jax.lax.sort([pad] + all_planes + [iota], dimension=0,
+                       is_stable=True, num_keys=len(all_planes) + 1)
+    perm = out[-1]
+
+    bounds = jnp.cumsum(jnp.array(caps, dtype=jnp.int32))
+    src = jnp.searchsorted(bounds, perm, side="right").astype(jnp.int32)
+    starts = bounds - jnp.array(caps, dtype=jnp.int32)
+    row = perm - starts[jnp.clip(src, 0, k - 1)]
+    return (
+        col.PrimitiveColumn(src, None, length, st.int32),
+        col.PrimitiveColumn(row, None, length, st.int32),
+    )
+
+
+def merge_n(sources: Sequence[col.Column],
+            source_idx: col.PrimitiveColumn,
+            row_idx: col.PrimitiveColumn) -> col.Column:
+    """reference merge.rs:35 merge_n — materialize MergeIndex rows."""
+    return interleave(list(sources), source_idx, row_idx)
+
+
+def merge_batches(batches: Sequence[bt.RecordBatch], by: Sequence[str],
+                  options: Optional[Sequence[SortOptions]] = None
+                  ) -> bt.RecordBatch:
+    """Merge k batches, each already sorted on `by`, into one sorted batch
+    (the sorted-run merging step of an external sort)."""
+    key_cols = [[b[n] for n in by] for b in batches]
+    src, row = merge_indices(key_cols, options)
+    schema = batches[0].schema
+    out_cols = []
+    for j, f in enumerate(schema.fields):
+        out_cols.append(merge_n([b.columns[j] for b in batches], src, row))
+    return bt.RecordBatch(schema, tuple(out_cols))

@@ -57,10 +57,34 @@ def normalize_batch(batch: bt.RecordBatch) -> bt.RecordBatch:
     )
 
 
+def _align_strings(batches):
+    """Pad string arenas / len_bounds to a common shape so shards form one
+    stackable pytree (host-side prep only)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ncols = len(batches[0].columns)
+    out = [list(b.columns) for b in batches]
+    for j in range(ncols):
+        cols = [b.columns[j] for b in batches]
+        if not isinstance(cols[0], col.StringViewColumn):
+            continue
+        arena_cap = max(c.arena.shape[0] for c in cols)
+        bound = max((c.len_bound or 0) for c in cols) or None
+        for i, c in enumerate(cols):
+            pad = arena_cap - c.arena.shape[0]
+            arena = jnp.pad(c.arena, (0, pad)) if pad else c.arena
+            out[i][j] = dataclasses.replace(c, arena=arena, len_bound=bound)
+    return [
+        bt.RecordBatch(b.schema, tuple(cs)) for b, cs in zip(batches, out)
+    ]
+
+
 def stack_batches(batches: Sequence[bt.RecordBatch]):
     """Stack per-device batches on a new leading axis (host-side prep for
     shard_map_batches).  All batches must share schema and capacity."""
-    batches = [normalize_batch(b) for b in batches]
+    batches = _align_strings([normalize_batch(b) for b in batches])
     return jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *batches)
 
 

@@ -46,6 +46,11 @@ class SchemaError(ArrowTpuError):
     pass
 
 
+class ValidationError(ArrowTpuError):
+    """Untrusted input failed value validation (reference:
+    ArrayData::validate_full, arrow-data/src/data.rs:1388)."""
+
+
 # ---------------------------------------------------------------------------
 # DataType
 # ---------------------------------------------------------------------------

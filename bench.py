@@ -14,10 +14,14 @@ Prints ONE JSON line (headline = config 1):
 vs_baseline = (config-1 fraction of HBM roofline) / 0.70, i.e. >= 1.0 meets
 the >=70%-of-roofline BASELINE target.
 
-Timing: the device tunnel dispatch is asynchronous and jittery, so each
-measurement chains k data-dependent dispatches bracketed by a host readback
-and uses the median slope ((t_hi - t_lo) / (k_hi - k_lo)) over several
-repeats.
+Timing methodology (hard-won; see round-2 notes): the device tunnel's
+dispatch is asynchronous, its block_until_ready can return early, and a
+large device_get permanently degrades per-dispatch latency in-process.
+The only artifact-immune measurement is K data-dependent iterations run
+by jax.lax.fori_loop INSIDE one dispatch, bracketed by a one-element
+readback, with the per-iteration time taken as the median slope between
+two K values — per-dispatch overhead and readback cost cancel exactly.
+Correctness checks (which device_get whole arrays) run AFTER timing.
 
 Accounting: each config declares its semantic bytes/row (one read of the
 inputs + one write of the outputs the operation fundamentally requires);
@@ -36,39 +40,39 @@ def _sync(out):
     import jax
 
     leaf = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel")][0]
-    np.asarray(jax.device_get(leaf.ravel()[0]))
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
-def chain_time(f, x, k_lo=3, k_hi=13, reps=5):
-    """Median-slope per-op seconds via dependent-dispatch chaining."""
+def loop_time(step, x, k_lo=4, k_hi=16, reps=3):
+    """Seconds per step(): fori_loop-chained inside ONE dispatch, median
+    slope between k_lo and k_hi iterations (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(v, k):
+        return jax.lax.fori_loop(0, k, lambda i, s: step(s), v)
 
     def run(k):
-        y = x
         t0 = time.perf_counter()
-        for _ in range(k):
-            y = f(y)
+        y = loop(x, jnp.int32(k))
         _sync(y)
         return time.perf_counter() - t0
 
-    run(2)  # warm
-    slopes = []
-    for _ in range(reps):
-        a = run(k_lo)
-        b = run(k_hi)
-        slopes.append((b - a) / (k_hi - k_lo))
-    slopes = sorted(slopes)
+    run(2)  # warm + compile
+    slopes = sorted(
+        (run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps)
+    )
     return slopes[len(slopes) // 2]
 
 
 def measure_roofline_gbs():
     """Empirical HBM bandwidth: large elementwise pass (read+write)."""
-    import jax
     import jax.numpy as jnp
 
     n = 128 * 1024 * 1024  # 512 MB read + 512 MB write
     x = jnp.arange(n, dtype=jnp.int32)
-    f = jax.jit(lambda v: v + 1)
-    dt = chain_time(f, x, k_lo=2, k_hi=6, reps=3)
+    dt = loop_time(lambda v: v + 1, x, k_lo=2, k_hi=8, reps=3)
     return (n * 4 * 2) / dt / 1e9
 
 
@@ -84,6 +88,8 @@ def _int64_col(rng, n, lo, hi, null_density):
 
 def config1_filter(n=8_000_000):
     """filter on Int64 with 10% nulls; Pallas compaction path on TPU."""
+    import dataclasses as dc
+
     import jax
 
     import arrowtpu as at
@@ -97,13 +103,15 @@ def config1_filter(n=8_000_000):
         validity=at.bitmap.from_numpy_bools(valid), length=n,
     )
 
-    @jax.jit
-    def pipeline(col):
+    def step(col):
         out = ops.filter_(col, ops.gt(col, 0))
-        # keep the chain data-dependent across dispatches
-        return out.with_length(col.length)
+        # keep the loop carry structurally identical (the validity-skip
+        # fast path drops the output bitmap; re-attach without compute)
+        return dc.replace(out, validity=col.validity, length=col.length)
 
-    # correctness spot-check vs numpy before timing
+    dt = loop_time(step, c)
+
+    # correctness check AFTER timing (device_get degrades the process)
     from arrowtpu.core import wide
     filtered = ops.filter_(c, ops.gt(c, 0))
     got = wide.join_numpy(np.asarray(jax.device_get(filtered.values)), np.int64)
@@ -111,8 +119,8 @@ def config1_filter(n=8_000_000):
     assert int(filtered.length) == want.size, "config1: count mismatch"
     assert np.array_equal(got[: want.size], want), "config1: values mismatch"
     assert not got[want.size:].any(), "config1: padding not zeroed"
+    assert filtered.validity is None, "config1: validity-skip not applied"
 
-    dt = chain_time(pipeline, c)
     rows_per_s = n / dt
     # 8B value read + 8B kept-value write (capacity write under the padding
     # contract) + predicate/validity/mask bookkeeping
@@ -127,6 +135,8 @@ def config1_filter(n=8_000_000):
 
 def config2_fused_predicate(n=8_000_000):
     """(a > b) AND (c % 7 == 0) AND (d <= 50) with Kleene null propagation."""
+    import dataclasses as dc
+
     import jax
 
     from arrowtpu import ops
@@ -137,16 +147,22 @@ def config2_fused_predicate(n=8_000_000):
     c, cv = _int64_col(rng, n, 0, 10**6, 0.05)
     d, dv = _int64_col(rng, n, 0, 100, 0.0)
 
-    @jax.jit
     def predicate(cols):
         a, b, c, d = cols
         p = ops.and_kleene(ops.gt(a, b), ops.eq(ops.rem(c, 7), 0))
         return ops.and_kleene(p, ops.lt_eq(d, 50))
 
-    out = predicate((a, b, c, d))
+    def step(cols):
+        a, b, c, d = cols
+        p = predicate(cols)
+        # fold the mask back into `a` to keep the chain data-dependent
+        bump = (p.values[0] & 0).astype(a.values.dtype)
+        return (dc.replace(a, values=a.values + bump), b, c, d)
+
+    dt = loop_time(step, (a, b, c, d))
+
+    out = jax.jit(predicate)((a, b, c, d))
     got = out.to_pylist()
-    a_ok = np.asarray(a.validity is not None and rng is not None)  # noqa
-    # correctness vs python Kleene on a sample
     av_ok = np.asarray(jax.device_get((a.valid_bool())))
     bv_ok = np.asarray(jax.device_get((b.valid_bool())))
     cv_ok = np.asarray(jax.device_get((c.valid_bool())))
@@ -159,22 +175,13 @@ def config2_fused_predicate(n=8_000_000):
         return True
 
     for i in rng.integers(0, n, 200):
-        t1 = (av[i] > bv[i]) if (av_ok[i] and bv_ok[i]) else None
-        t2 = (cv[i] % 7 == 0) if cv_ok[i] else None
-        t3 = dv[i] <= 50
+        # bool(): numpy np.False_ fails the `is False` identity test above
+        t1 = bool(av[i] > bv[i]) if (av_ok[i] and bv_ok[i]) else None
+        t2 = bool(cv[i] % 7 == 0) if cv_ok[i] else None
+        t3 = bool(dv[i] <= 50)
         want = kleene_and(kleene_and(t1, t2), t3)
         assert got[i] == want, f"config2 mismatch at {i}: {got[i]} != {want}"
 
-    @jax.jit
-    def chained(cols):
-        a, b, c, d = cols
-        p = predicate(cols)
-        # fold the mask back into `a` to keep the chain data-dependent
-        bump = (p.values[0] & 0).astype(a.values.dtype)
-        import dataclasses as dc
-        return (dc.replace(a, values=a.values + bump), b, c, d)
-
-    dt = chain_time(chained, (a, b, c, d))
     rows_per_s = n / dt
     bytes_per_row = 4 * 8 + 4 * 0.125 + 0.25  # 4 col reads + bitmaps + mask
     return {
@@ -189,14 +196,15 @@ def config3_lexsort(n=32_000_000):
     """lexsort_to_indices on (Int32, Float64, dict-Utf8) via row encoding.
 
     BASELINE names 100M rows; 32M keeps the per-round bench under control
-    while already HBM-resident (see --configs to run custom sizes)."""
+    while already HBM-resident (--configs/--sort-rows for custom sizes)."""
+    import dataclasses as d_
+
     import jax
     import jax.numpy as jnp
 
     import arrowtpu as at
     from arrowtpu import ops, schema as st
     from arrowtpu.core import column as cc
-    from arrowtpu.core import wide
 
     rng = np.random.default_rng(2)
     i32 = rng.integers(-100, 100, n, dtype=np.int32)  # narrow: forces ties
@@ -207,32 +215,31 @@ def config3_lexsort(n=32_000_000):
     c1 = at.primitive(i32, at.schema.int32, length=n)
     c2 = at.primitive(f64, at.schema.float64, length=n)
     values = cc.string_view(words)
-    dc = cc.DictionaryColumn(
+    dcol = cc.DictionaryColumn(
         at.primitive(keys, at.schema.int32, length=n),
         values,
         jnp.arange(values.capacity, dtype=jnp.int32),
         st.Dictionary(st.int32, st.utf8),
     )
 
-    @jax.jit
     def dosort(cols):
-        c1, c2, dc = cols
-        idx = ops.lexsort_to_indices([c1, c2, dc])
-        import dataclasses as d_
+        c1, c2, dcol = cols
+        idx = ops.lexsort_to_indices([c1, c2, dcol])
         bump = (idx.values[0] & 0).astype(c1.values.dtype)
-        return (d_.replace(c1, values=c1.values + bump), c2, dc), idx
+        return (d_.replace(c1, values=c1.values + bump), c2, dcol), idx
 
-    (_, idx) = dosort((c1, c2, dc))
-    got = np.asarray(jax.device_get(idx.values))[:n]
+    def step(s):
+        return dosort(s[0])
+
+    idx0 = jax.jit(lambda cols: dosort(cols)[1])((c1, c2, dcol))
+    dt = loop_time(step, ((c1, c2, dcol), idx0), k_lo=1, k_hi=5, reps=3)
+
+    got = np.asarray(jax.device_get(idx0.values))[:n]
     want = np.lexsort((keys, f64, i32))  # last key is primary in numpy
-    ok = np.array_equal(got, want)
-    if not ok:
-        # ties between equal (i32, f64, word) triples may order differently
-        # only if the sort were unstable; ours is stable, so require equality
+    if not np.array_equal(got, want):
+        # ours is stable, so exact equality is required
         raise AssertionError("config3: lexsort mismatch vs numpy")
 
-    dt = chain_time(lambda s: dosort(s[0]), ((c1, c2, dc), idx),
-                    k_lo=1, k_hi=4, reps=3)
     rows_per_s = n / dt
     bytes_per_row = 4 + 8 + 4 + 4  # read 3 key columns + write index vector
     return {
@@ -251,6 +258,7 @@ def config4_hash_agg(n=8_000_000):
     import jax
 
     import arrowtpu as at
+    from arrowtpu.core.batch import RecordBatch
     from arrowtpu.ops import groupby
 
     out = {}
@@ -267,8 +275,18 @@ def config4_hash_agg(n=8_000_000):
             return groupby.group_by(
                 b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
 
-        # correctness vs numpy (sum per key)
-        res = agg(b)
+        def step(b):
+            res = agg(b)
+            v = b["v"]
+            bump = (res["sum_v"].values[0, 0] & 0).astype(v.values.dtype)
+            v2 = dcl.replace(v, values=v.values + bump)
+            cols = tuple(v2 if c is v else c for c in b.columns)
+            return RecordBatch(b.schema, cols)
+
+        dt = loop_time(step, b, k_lo=1, k_hi=5, reps=3)
+
+        # correctness vs numpy (sum per key), after timing
+        res = jax.jit(agg)(b)
         got_k = np.asarray(res["k"].to_pylist())
         got_s = np.asarray(res["sum_v"].to_pylist())
         order = np.argsort(got_k)
@@ -278,17 +296,6 @@ def config4_hash_agg(n=8_000_000):
         assert np.array_equal(np.sort(got_k), uk), f"config4 {label}: keys"
         assert np.array_equal(got_s[order], sums), f"config4 {label}: sums"
 
-        @jax.jit
-        def chained(b):
-            res = agg(b)
-            v = b["v"]
-            bump = (res["sum_v"].values[0, 0] & 0).astype(v.values.dtype)
-            v2 = dcl.replace(v, values=v.values + bump)
-            cols = tuple(v2 if c is v else c for c in b.columns)
-            from arrowtpu.core.batch import RecordBatch
-            return RecordBatch(b.schema, cols)
-
-        dt = chain_time(chained, b, k_lo=1, k_hi=4, reps=3)
         rows_per_s = n / dt
         bytes_per_row = 4 + 8 + 0.1  # key read + value read + small output
         out[label] = {

@@ -107,8 +107,8 @@ class TestHashJoin:
         rv = rand_ints(rng, nr, lo=0, hi=1000)
         left = at.record_batch({"k": lk, "lv": lv})
         right = at.record_batch({"k": rk, "rv": rv})
-        out, dup = jn.hash_join(left, right, ["k"])
-        assert not bool(dup)
+        out, info = jn.hash_join(left, right, ["k"])
+        assert not bool(info.duplicates) and not bool(info.overflow)
         dl = pd.DataFrame({"k": lk, "lv": lv})
         dr = pd.DataFrame({"k": rk, "rv": rv})
         exp = dl.merge(dr, on="k", how="inner")
@@ -120,8 +120,8 @@ class TestHashJoin:
     def test_left_join_nulls(self, rng):
         left = at.record_batch({"k": [1, 2, 9, None], "lv": [10, 20, 30, 40]})
         right = at.record_batch({"k": [1, 2, 3], "rv": [100, 200, 300]})
-        out, dup = jn.hash_join(left, right, ["k"], how="left")
-        assert not bool(dup)
+        out, info = jn.hash_join(left, right, ["k"], how="left")
+        assert not bool(info.duplicates)
         assert out.to_pydict() == {
             "k": [1, 2, 9, None],
             "lv": [10, 20, 30, 40],
@@ -139,14 +139,15 @@ class TestHashJoin:
     def test_duplicate_build_keys_flagged(self):
         left = at.record_batch({"k": [1]})
         right = at.record_batch({"k": [1, 1], "rv": [5, 6]})
-        out, dup = jn.hash_join(left, right, ["k"])
-        assert bool(dup)
+        out, info = jn.hash_join(left, right, ["k"], out_capacity=8)
+        assert bool(info.duplicates)
+        assert out.to_pydict() == {"k": [1, 1], "rv": [5, 6]}
 
     def test_multi_column_key(self, rng):
         left = at.record_batch({"a": [1, 1, 2, 2], "b": [1, 2, 1, 2], "lv": [1, 2, 3, 4]})
         right = at.record_batch({"a": [1, 2], "b": [2, 1], "rv": [10, 20]})
-        out, dup = jn.hash_join(left, right, ["a", "b"])
-        assert not bool(dup)
+        out, info = jn.hash_join(left, right, ["a", "b"])
+        assert not bool(info.duplicates)
         assert sorted_records(out.to_pydict()) == sorted_records(
             {"a": [1, 2], "b": [2, 1], "lv": [2, 3], "rv": [10, 20]}
         )
@@ -171,3 +172,73 @@ class TestHashJoin:
         assert sorted_records(out.to_pydict()) == sorted_records(
             {"k": exp["k"].tolist(), "rv": exp["rv"].tolist()}
         )
+
+
+class TestNMJoin:
+    """General N:M join (duplicate build keys emit all pairs)."""
+
+    def test_inner_nm_vs_pandas(self, rng):
+        nl, nr = 300, 200
+        lk = rand_ints(rng, nl, null_density=0.05, lo=0, hi=40)
+        lv = rand_ints(rng, nl, lo=0, hi=1000)
+        rk = rand_ints(rng, nr, null_density=0.05, lo=0, hi=40)
+        rv = rand_ints(rng, nr, lo=0, hi=1000)
+        left = at.record_batch({"k": lk, "lv": lv})
+        right = at.record_batch({"k": rk, "rv": rv})
+        out, info = jn.hash_join(left, right, ["k"], out_capacity=nl * nr)
+        assert not bool(info.overflow)
+        # SQL semantics: NULL keys never match (pandas merges NaN==NaN)
+        dl = pd.DataFrame({"k": lk, "lv": lv}).dropna(subset=["k"])
+        dr = pd.DataFrame({"k": rk, "rv": rv}).dropna(subset=["k"])
+        exp = dl.merge(dr, on="k", how="inner")
+        got = out.to_pydict()
+        assert sorted_records(got) == sorted_records(
+            {"k": [int(x) for x in exp["k"]],
+             "lv": exp["lv"].tolist(), "rv": exp["rv"].tolist()}
+        )
+
+    def test_left_nm_vs_pandas(self, rng):
+        lk = [1, 2, 2, None, 9]
+        rk = [2, 2, 2, 1]
+        rv = [10, 20, 30, 40]
+        left = at.record_batch({"k": lk})
+        right = at.record_batch({"k": rk, "rv": rv})
+        out, info = jn.hash_join(left, right, ["k"], how="left", out_capacity=64)
+        got = out.to_pydict()
+        exp = pd.DataFrame({"k": lk}).merge(
+            pd.DataFrame({"k": rk, "rv": rv}), on="k", how="left"
+        )
+        expect = {
+            "k": [None if pd.isna(x) else int(x) for x in exp["k"]],
+            "rv": [None if pd.isna(x) else int(x) for x in exp["rv"]],
+        }
+        assert sorted_records(got) == sorted_records(expect)
+
+    def test_zipf_skewed_keys(self, rng):
+        """Adversarial key distribution: heavy hitters chain in the table."""
+        nl, nr = 500, 300
+        lk = [int(min(x, 30)) for x in rng.zipf(1.3, nl)]
+        rk = [int(min(x, 30)) for x in rng.zipf(1.3, nr)]
+        rv = rand_ints(rng, nr, lo=0, hi=100)
+        left = at.record_batch({"k": lk})
+        right = at.record_batch({"k": rk, "rv": rv})
+        out, info = jn.hash_join(left, right, ["k"], out_capacity=nl * nr)
+        assert not bool(info.overflow)
+        exp = pd.DataFrame({"k": lk}).merge(
+            pd.DataFrame({"k": rk, "rv": rv}), on="k"
+        )
+        got = out.to_pydict()
+        assert sorted_records(got) == sorted_records(
+            {"k": exp["k"].tolist(), "rv": exp["rv"].tolist()}
+        )
+
+    def test_overflow_flag_and_truncation(self):
+        left = at.record_batch({"k": [1, 1, 1, 1]})
+        right = at.record_batch({"k": [1] * 64, "rv": list(range(64))})
+        out, info = jn.hash_join(left, right, ["k"], out_capacity=128)
+        assert bool(info.overflow)  # true total = 256 > 128
+        assert int(out.length) == 128
+        # retry with enough room (capacity+count contract)
+        out2, info2 = jn.hash_join(left, right, ["k"], out_capacity=256)
+        assert not bool(info2.overflow)
+        assert int(out2.length) == 256

@@ -141,3 +141,94 @@ class TestDistributedGroupBy:
         }
         # drop groups with zero rows on some device (empty partials merge fine)
         assert sorted_records(got) == sorted_records(expect)
+
+
+class TestExchangeStrings:
+    def test_string_columns_shuffle(self, rng, mesh):
+        words = ["alpha", "b", "gamma-very-long-string-over-twelve", None,
+                 "delta", "eps"]
+        shards = []
+        all_k, all_s = [], []
+        for _ in range(NDEV):
+            ks = [int(x) for x in rng.integers(0, 30, 64)]
+            ss = [words[i % len(words)] for i in rng.integers(0, len(words), 64)]
+            all_k += ks
+            all_s += ss
+            shards.append(at.record_batch({"k": ks, "s": at.string_view(ss)}))
+        stacked = parallel.stack_batches(shards)
+
+        def body(local):
+            return parallel.exchange(
+                local, ["k"], axis_name="d", num_partitions=NDEV
+            )
+
+        out = parallel.shard_map_batches(body, mesh, stacked)
+        got = gathered_pydict(out)
+        assert sorted_records(got) == sorted_records({"k": all_k, "s": all_s})
+
+
+class TestSkewJoin:
+    def test_hot_key_broadcast_matches_pandas(self, rng, mesh):
+        # one key carries ~half of all probe rows: the skew path must
+        # broadcast its build rows instead of flooding one device
+        left_shards, left_all = [], {"k": [], "lv": []}
+        for _ in range(NDEV):
+            ks = [7 if rng.random() < 0.5 else int(rng.integers(0, 60)) for _ in range(96)]
+            vs = [int(x) for x in rng.integers(0, 1000, 96)]
+            left_all["k"] += ks
+            left_all["lv"] += vs
+            left_shards.append(at.record_batch({"k": ks, "lv": vs}))
+        rk = list(range(60))
+        right_shards, right_all = [], {"k": [], "rv": []}
+        for i in range(NDEV):
+            ks = rk[i * 7 : (i + 1) * 7]
+            vs = [int(x) for x in rng.integers(0, 1000, len(ks))]
+            right_all["k"] += ks
+            right_all["rv"] += vs
+            right_shards.append(at.record_batch({"k": ks, "rv": vs}))
+
+        sl = parallel.stack_batches(left_shards)
+        sr = parallel.stack_batches(right_shards)
+
+        def body(l, r):
+            out, info = parallel.distributed_hash_join(
+                l, r, ["k"], num_partitions=NDEV, axis_name="d",
+                skew_threshold=0.05, out_capacity=2048,
+            )
+            return out, info.overflow
+
+        out, ovf = parallel.shard_map_batches(body, mesh, sl, sr)
+        assert not bool(np.asarray(ovf).any())
+        got = gathered_pydict(out)
+        exp = pd.DataFrame(left_all).merge(pd.DataFrame(right_all), on="k")
+        expect = {c: exp[c].tolist() for c in ("k", "lv", "rv")}
+        assert sorted_records(got) == sorted_records(expect)
+
+
+class TestChunkedProbe:
+    def test_probe_chunks_same_result(self, rng, mesh):
+        left_shards, left_all = make_shards(rng, 96, key_hi=80, names=("k", "lv"))
+        rk = list(range(80))
+        rng.shuffle(rk)
+        right_shards, right_all = [], {"k": [], "rv": []}
+        for i in range(NDEV):
+            ks = rk[i * 10 : (i + 1) * 10]
+            vs = [int(x) for x in rng.integers(0, 1000, len(ks))]
+            right_all["k"] += ks
+            right_all["rv"] += vs
+            right_shards.append(at.record_batch({"k": ks, "rv": vs}))
+        sl = parallel.stack_batches(left_shards)
+        sr = parallel.stack_batches(right_shards)
+
+        def body(l, r):
+            out, _ = parallel.distributed_hash_join(
+                l, r, ["k"], num_partitions=NDEV, axis_name="d",
+                probe_chunks=4,
+            )
+            return out
+
+        out = parallel.shard_map_batches(body, mesh, sl, sr)
+        got = gathered_pydict(out)
+        exp = pd.DataFrame(left_all).merge(pd.DataFrame(right_all), on="k")
+        expect = {c: exp[c].tolist() for c in ("k", "lv", "rv")}
+        assert sorted_records(got) == sorted_records(expect)

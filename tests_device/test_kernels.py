@@ -1,0 +1,133 @@
+"""Compiled-mode kernel validation on the real accelerator.
+
+Bit-exact assertions against numpy oracles for integer/movement kernels;
+documented tolerance (core/wide.py:17, ~2^-48 relative) for emulated-f64
+arithmetic.  Sizes are chosen large enough to cross Pallas tile
+boundaries (16K/64K words) where round-1 bugs lived."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import arrowtpu as at
+from arrowtpu import ops
+from arrowtpu.core import wide
+from arrowtpu.pallas import compact as pc
+
+
+class TestPallasCompactCompiled:
+    """The selection fast path, compiled (not interpret mode), on device."""
+
+    @pytest.mark.parametrize("pattern", ["random", "all", "none", "sparse",
+                                         "dense", "runs"])
+    @pytest.mark.parametrize("n", [16384, 65536, 65536 * 4])
+    def test_compact_words(self, rng, pattern, n):
+        x = rng.integers(0, 2**32, n, dtype=np.uint32)
+        if pattern == "random":
+            keep = rng.random(n) < 0.45
+        elif pattern == "all":
+            keep = np.ones(n, bool)
+        elif pattern == "none":
+            keep = np.zeros(n, bool)
+        elif pattern == "sparse":
+            keep = rng.random(n) < 1 / 1024
+        elif pattern == "dense":
+            keep = rng.random(n) > 1 / 1024
+        else:  # runs
+            keep = (np.arange(n) // 1000) % 2 == 0
+        out, cnt = pc.compact_words(jnp.asarray(x), jnp.asarray(keep.astype(np.uint8)))
+        out = np.asarray(jax.device_get(out))
+        want = x[keep]
+        assert int(cnt) == want.size
+        assert np.array_equal(out[: want.size], want)
+        assert not out[want.size:].any()
+
+    def test_multi_plane_shared_mask(self, rng):
+        n = 65536
+        planes = rng.integers(0, 2**32, (3, n), dtype=np.uint32)
+        keep = (rng.random(n) < 0.3).astype(np.uint8)
+        tile_r = pc.pick_tile_r(n)
+        info = pc.tile_info(jnp.asarray(keep), tile_r)
+        out, cnt = pc.compact_planes_info(
+            jnp.asarray(planes), jnp.asarray(keep), info, tile_r, is_u32=True
+        )
+        out = np.asarray(jax.device_get(out))
+        m = keep.astype(bool)
+        k = int(cnt)
+        for p in range(3):
+            assert np.array_equal(out[p, :k], planes[p][m])
+
+
+class TestFilterOnDevice:
+    def test_filter_int64_bit_exact(self, rng):
+        n = 1_000_000
+        vals = rng.integers(-(2**62), 2**62, n)
+        valid = rng.random(n) > 0.1
+        c = at.primitive(vals, at.schema.int64,
+                         validity=at.bitmap.from_numpy_bools(valid), length=n)
+        out = ops.filter_(c, ops.gt(c, 0))
+        got = wide.join_numpy(np.asarray(jax.device_get(out.values)), np.int64)
+        want = vals[valid & (vals > 0)]
+        assert int(out.length) == want.size
+        assert np.array_equal(got[: want.size], want)
+
+    def test_take_roundtrip(self, rng):
+        n = 200_000
+        vals = rng.integers(0, 2**31, n, dtype=np.int32)
+        c = at.primitive(vals, at.schema.int32, length=n)
+        idx_np = rng.integers(0, n, n, dtype=np.int32)
+        idx = at.primitive(idx_np, at.schema.int32, length=n)
+        out = ops.take(c, idx)
+        got = np.asarray(jax.device_get(out.values))[:n]
+        assert np.array_equal(got, vals[idx_np])
+
+
+class TestSortOnDevice:
+    def test_lexsort_bit_exact(self, rng):
+        n = 500_000
+        a = rng.integers(-50, 50, n, dtype=np.int32)
+        b = rng.standard_normal(n)
+        ca = at.primitive(a, at.schema.int32, length=n)
+        cb = at.primitive(b, at.schema.float64, length=n)
+        idx = ops.lexsort_to_indices([ca, cb])
+        got = np.asarray(jax.device_get(idx.values))[:n]
+        want = np.lexsort((b, a))
+        assert np.array_equal(got, want)
+
+
+class TestGroupByOnDevice:
+    def test_sum_exact_64bit(self, rng):
+        from arrowtpu.ops import groupby as gb
+
+        n = 500_000
+        keys = rng.integers(0, 1000, n, dtype=np.int32)
+        vals = rng.integers(-(2**40), 2**40, n)
+        batch = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n),
+        })
+        res = gb.group_by(batch, ["k"], [("v", "sum")])
+        got_k = np.asarray(res["k"].to_pylist())
+        got_s = np.asarray(res["sum_v"].to_pylist())
+        uk = np.unique(keys)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, np.searchsorted(uk, keys), vals)
+        order = np.argsort(got_k)
+        assert np.array_equal(got_k[order], uk)
+        assert np.array_equal(got_s[order], sums)
+
+
+class TestWideFloatTolerance:
+    def test_f64_add_tolerance(self, rng):
+        """Emulated f64 arithmetic carries ~2^-48 relative error on TPU
+        (core/wide.py:17); movement/compare stay bit-exact."""
+        n = 100_000
+        a = rng.standard_normal(n)
+        b = rng.standard_normal(n)
+        ca = at.primitive(a, at.schema.float64, length=n)
+        cb = at.primitive(b, at.schema.float64, length=n)
+        out = ops.add(ca, cb)
+        got = wide.join_numpy(np.asarray(jax.device_get(out.values)), np.float64)[:n]
+        np.testing.assert_allclose(got, a + b, rtol=2**-40, atol=1e-300)
