@@ -245,18 +245,32 @@ def _message_bytes(header_type: int, build_header, body: bytes) -> bytes:
     return struct.pack("<Ii", CONTINUATION, len(meta)) + meta + body
 
 
-def _batch_body_and_header(node_list: List[Node]):
-    """Flatten nodes preorder -> (nodes, buffers, body bytes)."""
+def _batch_body_and_header(node_list: List[Node], compression: str = None):
+    """Flatten nodes preorder -> (nodes, buffers, body bytes).
+
+    compression="zstd": each buffer is framed as an 8-byte LE uncompressed
+    length + zstd bytes; -1 length means the raw bytes follow verbatim
+    (reference arrow-ipc/src/compression.rs:142 CompressionCodec)."""
     field_nodes: List[Tuple[int, int]] = []
     buffers: List[Tuple[int, int]] = []
     chunks: List[bytes] = []
     pos = 0
 
+    def frame(raw: bytes) -> bytes:
+        if compression is None or len(raw) == 0:
+            return raw
+        import zstandard
+
+        comp = zstandard.ZstdCompressor().compress(raw)
+        if len(comp) >= len(raw):
+            return struct.pack("<q", -1) + raw
+        return struct.pack("<q", len(raw)) + comp
+
     def walk(n: Node):
         nonlocal pos
         field_nodes.append((n.length, n.null_count))
         for buf in n.buffers:
-            raw = buf.tobytes()
+            raw = frame(buf.tobytes())
             buffers.append((pos, len(raw)))
             pad = (-len(raw)) % 8
             chunks.append(raw + b"\0" * pad)
@@ -269,27 +283,43 @@ def _batch_body_and_header(node_list: List[Node]):
     return field_nodes, buffers, b"".join(chunks)
 
 
-def _record_batch_header(b: fb.Builder, length: int, field_nodes, buffers) -> int:
+_COMPRESSION_CODECS = {"lz4": 0, "zstd": 1}  # Schema.fbs CompressionType
+
+
+def _record_batch_header(b: fb.Builder, length: int, field_nodes, buffers,
+                         compression: str = None) -> int:
     nodes_packed = b"".join(struct.pack("<qq", l, nc) for l, nc in field_nodes)
     nodes_vec = b.vector_of_structs(nodes_packed, len(field_nodes), align=8)
     bufs_packed = b"".join(struct.pack("<qq", o, ln) for o, ln in buffers)
     bufs_vec = b.vector_of_structs(bufs_packed, len(buffers), align=8)
+    bc = None
+    if compression is not None:
+        b.start_table()
+        b.slot_scalar(0, "b", _COMPRESSION_CODECS[compression], 0)
+        b.slot_scalar(1, "b", 0, 0)  # method BUFFER
+        bc = b.end_table()
     b.start_table()
     b.slot_scalar(0, "q", length, 0)
     b.slot_offset(1, nodes_vec)
     b.slot_offset(2, bufs_vec)
+    if bc is not None:
+        b.slot_offset(3, bc)
     return b.end_table()
 
 
 class StreamWriter:
     """reference StreamWriter (arrow-ipc/src/writer.rs)."""
 
-    def __init__(self, sink, schema: st.Schema):
+    def __init__(self, sink, schema: st.Schema, compression: str = None):
+        if compression not in (None, "zstd"):
+            raise st.ArrowTpuError(f"IPC: unsupported compression {compression!r}")
         self.sink = sink
         self.schema = schema
+        self.compression = compression
         self.dict_ids: Dict[str, int] = {}
         self._wrote_schema = False
         self._sent_dicts = set()
+        self._sent_values: Dict[int, list] = {}  # id -> pylist already sent
 
     def _ensure_schema(self):
         if self._wrote_schema:
@@ -307,19 +337,42 @@ class StreamWriter:
     def _walk_dicts(self, path: str, c: col.Column):
         if isinstance(c, col.DictionaryColumn):
             did = self.dict_ids.get(path)
-            if did is None or did in self._sent_dicts:
+            if did is None:
                 return
             values = c.values
+            is_delta = False
+            if did in self._sent_dicts:
+                # delta dictionaries (reference DictionaryTracker,
+                # writer.rs:1330-1362): an append-only growth ships only
+                # the new values with isDelta; any other change ships a
+                # full replacement message
+                prev = self._sent_values.get(did, [])
+                cur = values.with_length(values.length).to_pylist()
+                if cur == prev:
+                    return
+                if len(cur) > len(prev) and cur[: len(prev)] == prev:
+                    values = col.from_pylist(cur[len(prev):],
+                                             self.schema_value_dtype(path))
+                    is_delta = True
+                self._sent_values[did] = cur
+            else:
+                self._sent_values[did] = (
+                    values.with_length(values.length).to_pylist()
+                )
             node = column_to_layout(values.with_length(values.length))
-            field_nodes, buffers, body = _batch_body_and_header([node])
+            field_nodes, buffers, body = _batch_body_and_header(
+                [node], self.compression)
 
             def build(bb: fb.Builder) -> int:
                 rb = _record_batch_header(
-                    bb, values.concrete_length(), field_nodes, buffers
+                    bb, values.concrete_length(), field_nodes, buffers,
+                    self.compression,
                 )
                 bb.start_table()
                 bb.slot_scalar(0, "q", did, 0)
                 bb.slot_offset(1, rb)
+                if is_delta:
+                    bb.slot_scalar(2, "b", 1, 0)
                 return bb.end_table()
 
             self.sink.write(_message_bytes(H_DICT, build, body))
@@ -332,15 +385,23 @@ class StreamWriter:
         elif isinstance(c, col.FixedSizeListColumn):
             self._walk_dicts(path + ".item", c.child)
 
+    def schema_value_dtype(self, path: str) -> st.DataType:
+        for did, (p, vdt) in _dict_paths(self.schema).items():
+            if p == path:
+                return vdt
+        raise st.ArrowTpuError(f"IPC: unknown dictionary path {path}")
+
     def write(self, batch: bt.RecordBatch):
         self._ensure_schema()
         self._write_dictionaries(batch)
         nodes = [column_to_layout(c) for c in batch.columns]
-        field_nodes, buffers, body = _batch_body_and_header(nodes)
+        field_nodes, buffers, body = _batch_body_and_header(
+            nodes, self.compression)
         n = int(batch.length)
 
         def build(bb: fb.Builder) -> int:
-            return _record_batch_header(bb, n, field_nodes, buffers)
+            return _record_batch_header(bb, n, field_nodes, buffers,
+                                        self.compression)
 
         self.sink.write(_message_bytes(H_BATCH, build, body))
 
@@ -352,8 +413,8 @@ class StreamWriter:
 class FileWriter(StreamWriter):
     """reference FileWriter (writer.rs:1593): magic + stream + footer."""
 
-    def __init__(self, sink, schema: st.Schema):
-        super().__init__(sink, schema)
+    def __init__(self, sink, schema: st.Schema, compression: str = None):
+        super().__init__(sink, schema, compression)
         self._blocks: List[Tuple[int, int, int]] = []
         self._dict_blocks: List[Tuple[int, int, int]] = []
         sink.write(MAGIC + b"\0\0")
@@ -363,11 +424,13 @@ class FileWriter(StreamWriter):
         self._ensure_schema()
         self._write_dictionaries_tracked(batch)
         nodes = [column_to_layout(c) for c in batch.columns]
-        field_nodes, buffers, body = _batch_body_and_header(nodes)
+        field_nodes, buffers, body = _batch_body_and_header(
+            nodes, self.compression)
         n = int(batch.length)
 
         def build(bb):
-            return _record_batch_header(bb, n, field_nodes, buffers)
+            return _record_batch_header(bb, n, field_nodes, buffers,
+                                        self.compression)
 
         msg = _message_bytes(H_BATCH, build, body)
         offset = self._tell()
@@ -465,6 +528,8 @@ def _read_batch_columns(header: fb.Table, body: bytes, schema: st.Schema, dictio
         struct.unpack("<qq", s) for s in header.vector_structs(1, 16)
     ]
     buffers = [struct.unpack("<qq", s) for s in header.vector_structs(2, 16)]
+    bc = header.table(3)
+    codec = bc.scalar(0, "b", 0) if bc is not None else None
     state = {"node": 0, "buf": 0}
 
     def take_node():
@@ -475,7 +540,25 @@ def _read_batch_columns(header: fb.Table, body: bytes, schema: st.Schema, dictio
     def take_buf():
         off, ln = buffers[state["buf"]]
         state["buf"] += 1
-        return np.frombuffer(body, np.uint8, count=ln, offset=off)
+        if codec is None or ln == 0:
+            return np.frombuffer(body, np.uint8, count=ln, offset=off)
+        # framed: 8-byte LE uncompressed length (-1 = raw) + payload
+        (ulen,) = struct.unpack_from("<q", body, off)
+        payload = body[off + 8 : off + ln]
+        if ulen == -1:
+            return np.frombuffer(payload, np.uint8)
+        if codec == 1:  # ZSTD
+            import zstandard
+
+            raw = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=ulen)
+        elif codec == 0:  # LZ4_FRAME
+            raise st.ArrowTpuError(
+                "IPC: LZ4_FRAME bodies unsupported (no lz4 in this "
+                "environment); use zstd")
+        else:
+            raise st.ArrowTpuError(f"IPC: unknown compression codec {codec}")
+        return np.frombuffer(raw, np.uint8)
 
     def read_node(dt: st.DataType, path: str) -> Node:
         length, null_count = take_node()
@@ -565,10 +648,17 @@ class StreamReader:
             if header_type == H_DICT:
                 did = header.scalar(0, "q", 0)
                 rb = header.table(1)
+                is_delta = bool(header.scalar(2, "b", 0))
                 path, vdt = self._dict_info[did]
                 vschema = st.Schema((st.Field("values", vdt),))
                 vb = _read_batch_columns(rb, body, vschema, {})
-                self.dictionaries[path] = vb.columns[0]
+                if is_delta and path in self.dictionaries:
+                    from ..ops.concat import concat
+
+                    self.dictionaries[path] = concat(
+                        [self.dictionaries[path], vb.columns[0]])
+                else:
+                    self.dictionaries[path] = vb.columns[0]
                 continue
             if header_type == H_BATCH:
                 return _read_batch_columns(header, body, self.schema, self.dictionaries)
@@ -602,10 +692,17 @@ class FileReader:
             body = self.buf[body_start : body_start + blen]
             did = header.scalar(0, "q", 0)
             rb = header.table(1)
+            is_delta = bool(header.scalar(2, "b", 0))
             path, vdt = self._dict_info[did]
             vschema = st.Schema((st.Field("values", vdt),))
             vb = _read_batch_columns(rb, body, vschema, {})
-            self.dictionaries[path] = vb.columns[0]
+            if is_delta and path in self.dictionaries:
+                from ..ops.concat import concat
+
+                self.dictionaries[path] = concat(
+                    [self.dictionaries[path], vb.columns[0]])
+            else:
+                self.dictionaries[path] = vb.columns[0]
 
     @property
     def num_batches(self) -> int:
@@ -627,7 +724,8 @@ class FileReader:
 # ---------------------------------------------------------------------------
 
 
-def write_stream(batches, schema: st.Schema = None, sink=None) -> Optional[bytes]:
+def write_stream(batches, schema: st.Schema = None, sink=None, *,
+                 compression: str = None) -> Optional[bytes]:
     if isinstance(batches, bt.RecordBatch):
         batches = [batches]
     if schema is None:
@@ -635,14 +733,15 @@ def write_stream(batches, schema: st.Schema = None, sink=None) -> Optional[bytes
     own = sink is None
     if own:
         sink = io.BytesIO()
-    w = StreamWriter(sink, schema)
+    w = StreamWriter(sink, schema, compression)
     for b in batches:
         w.write(b)
     w.finish()
     return sink.getvalue() if own else None
 
 
-def write_file(batches, schema: st.Schema = None, sink=None) -> Optional[bytes]:
+def write_file(batches, schema: st.Schema = None, sink=None, *,
+               compression: str = None) -> Optional[bytes]:
     if isinstance(batches, bt.RecordBatch):
         batches = [batches]
     if schema is None:
@@ -650,7 +749,7 @@ def write_file(batches, schema: st.Schema = None, sink=None) -> Optional[bytes]:
     own = sink is None
     if own:
         sink = io.BytesIO()
-    w = FileWriter(sink, schema)
+    w = FileWriter(sink, schema, compression)
     for b in batches:
         w.write(b)
     w.finish()
@@ -746,10 +845,17 @@ class MessageDecoder:
         if header_type == H_DICT:
             did = header.scalar(0, "q", 0)
             rb = header.table(1)
+            is_delta = bool(header.scalar(2, "b", 0))
             path, vdt = self._dict_info[did]
             vschema = st.Schema((st.Field("values", vdt),))
             vb = _read_batch_columns(rb, body, vschema, {})
-            self.dictionaries[path] = vb.columns[0]
+            if is_delta and path in self.dictionaries:
+                from ..ops.concat import concat
+
+                self.dictionaries[path] = concat(
+                    [self.dictionaries[path], vb.columns[0]])
+            else:
+                self.dictionaries[path] = vb.columns[0]
             return None
         if header_type == H_BATCH:
             return _read_batch_columns(header, body, self.schema, self.dictionaries)

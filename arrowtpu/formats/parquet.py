@@ -483,6 +483,51 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     }
 
 
+def _bit_width(maxlevel: int) -> int:
+    return max(1, int(np.ceil(np.log2(maxlevel + 1))))
+
+
+def _write_leaf_chunk(out, leaf, props: WriterProperties):
+    """Write one nested-leaf column chunk: [rep levels][def levels][PLAIN
+    values] (data page v1 level framing; reference column/writer/mod.rs
+    write_mini_batch with levels)."""
+    phys, conv = _physical(leaf.dtype)
+    codec = _CODEC_NAMES[props.compression]
+    blocks = b""
+    if leaf.max_rep > 0:
+        rl = rle_encode(leaf.rep_levels.astype(np.int64), _bit_width(leaf.max_rep))
+        blocks += struct.pack("<i", len(rl)) + rl
+    if leaf.max_def > 0:
+        dl = rle_encode(leaf.def_levels.astype(np.int64), _bit_width(leaf.max_def))
+        blocks += struct.pack("<i", len(dl)) + dl
+    if isinstance(leaf.values, list):
+        payload = b"".join(struct.pack("<i", len(b)) + bytes(b) for b in leaf.values)
+    elif phys == P_BOOL:
+        payload = np.packbits(np.asarray(leaf.values, bool), bitorder="little").tobytes()
+    else:
+        payload = _plain_encode(np.asarray(leaf.values), phys)
+    n_entries = leaf.num_entries
+    body = blocks + payload
+    comp = _compress(codec, body)
+    hdr = _page_header_data(len(body), len(comp), n_entries, E_PLAIN)
+    start = out.tell()
+    out.write(hdr + comp)
+    return {
+        "bloom_hashes": None,
+        "page_locations": [(start, len(hdr) + len(comp), 0)],
+        "num_nulls": int((leaf.def_levels < leaf.max_def).sum()),
+        "type": phys,
+        "encodings": [E_RLE, E_PLAIN],
+        "codec": codec,
+        "num_values": n_entries,
+        "total_uncompressed_size": len(hdr) + len(body),
+        "total_compressed_size": len(hdr) + len(comp),
+        "data_page_offset": start,
+        "dictionary_page_offset": None,
+        "statistics": None,
+    }
+
+
 def _decode_dict(c: col.DictionaryColumn) -> col.Column:
     from ..ops.cast import dictionary_decode
 
@@ -549,11 +594,20 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
         # the coalescer)
         n = int(batch.length)
         cols_meta = []
+        from .parquet_nested import is_nested, shred_column
+
         for f, c in zip(schema.fields, batch.columns):
-            meta = _write_column(sink, c, f.dtype, props, f.nullable, f.name)
-            meta["path"] = [f.name]
-            meta["file_offset"] = meta["dictionary_page_offset"] or meta["data_page_offset"]
-            cols_meta.append(meta)
+            if is_nested(f.dtype):
+                for leaf in shred_column(f.name, c, f.nullable):
+                    meta = _write_leaf_chunk(sink, leaf, props)
+                    meta["path"] = leaf.path
+                    meta["file_offset"] = meta["data_page_offset"]
+                    cols_meta.append(meta)
+            else:
+                meta = _write_column(sink, c, f.dtype, props, f.nullable, f.name)
+                meta["path"] = [f.name]
+                meta["file_offset"] = meta["dictionary_page_offset"] or meta["data_page_offset"]
+                cols_meta.append(meta)
         row_groups.append(
             {
                 "columns": cols_meta,
@@ -612,21 +666,18 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> by
     w = thrift.Writer()
     w.struct_begin()
     w.field_i32(1, 2)  # version
-    # schema elements: root group + one leaf per field
-    w.field_list(2, thrift.CT_STRUCT, 1 + len(schema.fields))
+    # schema elements: root group + each field's subtree (nested groups
+    # for List/Map/Struct per LogicalTypes.md; parquet_nested.py)
+    from .parquet_nested import count_schema_elements, write_schema_elements
+
+    total_elems = 1 + sum(count_schema_elements(f.dtype) for f in schema.fields)
+    w.field_list(2, thrift.CT_STRUCT, total_elems)
     w.struct_begin()  # root
     w.field_string(4, "schema")
     w.field_i32(5, len(schema.fields))
     w.struct_end()
     for f in schema.fields:
-        phys, conv = _physical(f.dtype)
-        w.struct_begin()
-        w.field_i32(1, phys)
-        w.field_i32(3, 1 if f.nullable else 0)
-        w.field_string(4, f.name)
-        if conv is not None:
-            w.field_i32(6, conv)
-        w.struct_end()
+        write_schema_elements(w, f.name, f.dtype, f.nullable)
     total_rows = sum(rg["num_rows"] for rg in row_groups)
     w.field_i64(3, total_rows)
     w.field_list(4, thrift.CT_STRUCT, len(row_groups))
@@ -678,8 +729,11 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> by
     w.field_string(6, props.created_by)
     # column_orders: TYPE_ORDER per leaf — without it readers must ignore
     # min_value/max_value statistics (parquet.thrift ColumnOrder)
-    w.field_list(7, thrift.CT_STRUCT, len(schema.fields))
-    for _ in schema.fields:
+    from .parquet_nested import _leaf_count
+
+    n_leaves = sum(_leaf_count(f.dtype) for f in schema.fields)
+    w.field_list(7, thrift.CT_STRUCT, n_leaves)
+    for _ in range(n_leaves):
         w.struct_begin()
         w.field_struct(1)  # TYPE_ORDER (empty struct union member)
         w.struct_begin()
@@ -732,36 +786,37 @@ class ParquetFile:
         self._meta = meta
         self.num_rows = meta[3]
         self.created_by = meta.get(6, b"").decode("utf-8", "replace") if isinstance(meta.get(6), (bytes, bytearray)) else ""
-        # schema: root (num_children) + flat leaves only (nested = not yet)
+        # schema: root (num_children) + per-field subtrees (nested groups
+        # handled by parquet_nested.parse_schema_tree)
+        from .parquet_nested import parse_schema_tree
+
         elems = meta[2]
-        root = elems[0]
         fields = []
+        self._leaf_info = []        # (max_def, max_rep, dtype, nullable)
+        self._field_leaf_start = []  # first leaf index per field
         i = 1
         while i < len(elems):
-            e = elems[i]
-            if e.get(5):  # group node
-                raise st.ArrowTpuError(
-                    "parquet: nested schemas not supported yet by this reader"
-                )
-            name = e[4].decode("utf-8")
-            dt = _logical(e[1], e.get(6))
-            nullable = e.get(3, 0) == 1
-            fields.append(st.Field(name, dt, nullable))
-            i += 1
+            fld, i, leaves = parse_schema_tree(elems, i)
+            self._field_leaf_start.append(len(self._leaf_info))
+            self._leaf_info.extend(leaves)
+            fields.append(fld)
         self.schema = st.Schema(tuple(fields))
         self.row_groups = meta[4]
+
+    def _leaf_idx(self, column: str) -> int:
+        return self._field_leaf_start[self.schema.index_of(column)]
 
     def statistics(self, rg: int, column: str):
         """Row-group stats as a dict (reference StatisticsConverter,
         arrow_reader/statistics.rs)."""
-        idx = self.schema.index_of(column)
+        idx = self._leaf_idx(column)
         cm = self.row_groups[rg][1][idx][3]
         return _field_stats(cm, cm[1])
 
     def bloom_filter(self, rg: int, column: str):
         """Read the column chunk's SBBF, or None (reference
         bloom_filter/mod.rs read path)."""
-        idx = self.schema.index_of(column)
+        idx = self._leaf_idx(column)
         cm = self.row_groups[rg][1][idx][3]
         off = cm.get(14)
         if off is None:
@@ -777,7 +832,7 @@ class ParquetFile:
             return True
         from . import parquet_ext as px
 
-        idx = self.schema.index_of(column)
+        idx = self._leaf_idx(column)
         cm = self.row_groups[rg][1][idx][3]
         if isinstance(value, str):
             value = value.encode("utf-8")
@@ -787,7 +842,7 @@ class ParquetFile:
 
     def column_index(self, rg: int, column: str):
         """Per-page min/max/null statistics (reference page_index)."""
-        idx = self.schema.index_of(column)
+        idx = self._leaf_idx(column)
         chunk = self.row_groups[rg][1][idx]
         if 6 not in chunk:
             return None
@@ -797,7 +852,7 @@ class ParquetFile:
 
     def offset_index(self, rg: int, column: str):
         """Per-page (offset, compressed_size, first_row_index)."""
-        idx = self.schema.index_of(column)
+        idx = self._leaf_idx(column)
         chunk = self.row_groups[rg][1][idx]
         if 4 not in chunk:
             return None
@@ -811,11 +866,23 @@ class ParquetFile:
         names = columns or self.schema.names
         cols = []
         fields = []
+        from .parquet_nested import LeafData, _leaf_count, assemble_column, is_nested
+
         for name in names:
             fi = self.schema.index_of(name)
             field = self.schema.fields[fi]
-            chunk = rg[1][fi]
-            cols.append(self._read_chunk(chunk, field.dtype, num_rows, field.nullable))
+            start = self._field_leaf_start[fi]
+            if not is_nested(field.dtype):
+                chunk = rg[1][start]
+                cols.append(self._read_chunk(chunk, field.dtype, num_rows, field.nullable))
+            else:
+                datas = []
+                for k in range(_leaf_count(field.dtype)):
+                    md, mr, ldt, lnull = self._leaf_info[start + k]
+                    defs, reps, values = self._read_chunk_levels(
+                        rg[1][start + k], md, mr)
+                    datas.append(LeafData(defs, reps, values, ldt, lnull, md))
+                cols.append(assemble_column(field, datas, num_rows))
             fields.append(field)
         from ..interop.pyarrow_bridge import _equalize
 
@@ -857,12 +924,63 @@ class ParquetFile:
             dph = hdr[5]
             nvals = dph[1]
             enc = dph[2]
-            vals, valid = self._decode_data_page(body, phys, enc, nvals, dictionary, nullable)
+            vals, defs, _reps = self._decode_data_page(
+                body, phys, enc, nvals, dictionary,
+                1 if nullable else 0, 0)
             values.append(vals)
-            valid_parts.append(valid)
+            valid_parts.append(defs == 1 if defs is not None
+                               else np.ones(nvals, bool))
             remaining -= nvals
         valid = np.concatenate(valid_parts) if valid_parts else np.zeros(0, bool)
         return _assemble(values, valid, phys, dt, num_rows)
+
+    def _read_chunk_levels(self, chunk: Dict[int, Any], max_def: int,
+                           max_rep: int):
+        """Nested leaf: concatenated (def_levels, rep_levels, values)."""
+        cm = chunk[3]
+        phys = cm[1]
+        codec = cm[4]
+        num_values = cm[5]
+        pos = cm.get(11, cm[9])
+        dictionary = None
+        values = []
+        defs_parts = []
+        reps_parts = []
+        remaining = num_values
+        while remaining > 0:
+            r = thrift.Reader(self.buf, pos)
+            hdr = r.read_struct()
+            page_type = hdr[1]
+            uncomp, comp = hdr[2], hdr[3]
+            body = _decompress(codec, self.buf[r.pos : r.pos + comp], uncomp)
+            pos = r.pos + comp
+            if page_type == 2:
+                dph = hdr[7]
+                dictionary = self._decode_dict_page(body, phys, dph[1])
+                continue
+            if page_type != 0:
+                raise st.ArrowTpuError(f"parquet: unsupported page type {page_type}")
+            dph = hdr[5]
+            nvals = dph[1]
+            enc = dph[2]
+            vals, defs, reps = self._decode_data_page(
+                body, phys, enc, nvals, dictionary, max_def, max_rep)
+            values.append(vals)
+            defs_parts.append(defs if defs is not None
+                              else np.zeros(nvals, np.int32))
+            reps_parts.append(reps if reps is not None
+                              else np.zeros(nvals, np.int32))
+            remaining -= nvals
+        defs = np.concatenate(defs_parts) if defs_parts else np.zeros(0, np.int32)
+        reps = np.concatenate(reps_parts) if reps_parts else np.zeros(0, np.int32)
+        if values and isinstance(values[0], list):
+            flat = []
+            for v in values:
+                flat.extend(v)
+            vals = flat
+        else:
+            vals = np.concatenate(values) if values else np.zeros(0)
+        return defs.astype(np.int32), reps.astype(np.int32), vals
 
     def _decode_dict_page(self, body: bytes, phys: int, encoding: int):
         if phys == P_BYTES:
@@ -877,17 +995,26 @@ class ParquetFile:
         return np.frombuffer(body, dtype=npdt)
 
     def _decode_data_page(self, body: bytes, phys: int, enc: int, nvals: int,
-                          dictionary, nullable: bool):
-        # definition levels (flat optional: RLE with 4-byte length prefix);
-        # REQUIRED columns have none
-        if nullable:
-            (dl_len,) = struct.unpack_from("<i", body, 0)
-            levels = rle_decode(body[4 : 4 + dl_len], 1, nvals)
-            valid = levels.astype(bool)
-            payload = body[4 + dl_len :]
-        else:
-            valid = np.ones(nvals, bool)
-            payload = body
+                          dictionary, max_def: int, max_rep: int):
+        """Returns (values, def_levels|None, rep_levels|None).  Data page
+        v1 framing: [rep RLE][def RLE][values], each level block a 4-byte
+        length + RLE/bit-packed hybrid, present iff its max level > 0
+        (reference column/reader.rs:429 + encodings/rle.rs)."""
+        pos = 0
+        reps = None
+        defs = None
+        if max_rep > 0:
+            (rl_len,) = struct.unpack_from("<i", body, pos)
+            reps = rle_decode(body[pos + 4 : pos + 4 + rl_len],
+                              _bit_width(max_rep), nvals)
+            pos += 4 + rl_len
+        if max_def > 0:
+            (dl_len,) = struct.unpack_from("<i", body, pos)
+            defs = rle_decode(body[pos + 4 : pos + 4 + dl_len],
+                              _bit_width(max_def), nvals)
+            pos += 4 + dl_len
+        payload = body[pos:]
+        valid = defs == max_def if defs is not None else np.ones(nvals, bool)
         n_non_null = int(valid.sum())
         if enc in (E_RLE_DICT, E_PLAIN_DICT):
             bw = payload[0]
@@ -896,22 +1023,22 @@ class ParquetFile:
                 vals = [dictionary[c] for c in codes]
             else:
                 vals = dictionary[codes]
-            return vals, valid
+            return vals, defs, reps
         if enc == E_DELTA_BINARY_PACKED:
             from . import parquet_ext as px
 
             vals, _ = px.delta_binary_packed_decode(bytes(payload), count=n_non_null)
             npdt = {P_I32: np.int32, P_I64: np.int64}[phys]
-            return vals.astype(npdt), valid
+            return vals.astype(npdt), defs, reps
         if enc == E_DELTA_LENGTH_BYTE_ARRAY:
             from . import parquet_ext as px
 
-            return px.delta_length_byte_array_decode(bytes(payload), n_non_null), valid
+            return px.delta_length_byte_array_decode(bytes(payload), n_non_null), defs, reps
         if enc == E_BYTE_STREAM_SPLIT:
             from . import parquet_ext as px
 
             npdt = {P_I32: "<i4", P_I64: "<i8", P_FLOAT: "<f4", P_DOUBLE: "<f8"}[phys]
-            return px.byte_stream_split_decode(bytes(payload), npdt, n_non_null), valid
+            return px.byte_stream_split_decode(bytes(payload), npdt, n_non_null), defs, reps
         if enc != E_PLAIN:
             raise st.ArrowTpuError(f"parquet: unsupported encoding {enc}")
         if phys == P_BOOL:
@@ -919,7 +1046,7 @@ class ParquetFile:
                 np.frombuffer(payload, np.uint8, count=(n_non_null + 7) // 8),
                 bitorder="little",
             )[:n_non_null].astype(bool)
-            return bits, valid
+            return bits, defs, reps
         if phys == P_BYTES:
             out = []
             pos = 0
@@ -927,9 +1054,9 @@ class ParquetFile:
                 (ln,) = struct.unpack_from("<i", payload, pos)
                 out.append(payload[pos + 4 : pos + 4 + ln])
                 pos += 4 + ln
-            return out, valid
+            return out, defs, reps
         npdt = {P_I32: "<i4", P_I64: "<i8", P_FLOAT: "<f4", P_DOUBLE: "<f8"}[phys]
-        return np.frombuffer(payload, dtype=npdt, count=n_non_null), valid
+        return np.frombuffer(payload, dtype=npdt, count=n_non_null), defs, reps
 
 
 def _assemble(values, valid: np.ndarray, phys: int, dt: st.DataType, num_rows: int) -> col.Column:

@@ -314,14 +314,23 @@ def main():
     args = ap.parse_args()
     which = set(int(x) for x in args.configs.split(","))
 
+    import sys
+
+    t00 = time.time()
     roofline = measure_roofline_gbs()
+    print(f"[bench] roofline {roofline:.0f} GB/s ({time.time()-t00:.0f}s)",
+          file=sys.stderr, flush=True)
     detail = {"empirical_roofline_GBps": round(roofline, 1)}
 
     runners = {1: config1_filter, 2: config2_fused_predicate,
                3: config3_lexsort, 4: config4_hash_agg}
     for i in sorted(which):
         try:
+            t0 = time.time()
+            print(f"[bench] config{i} start", file=sys.stderr, flush=True)
             r = runners[i]()
+            print(f"[bench] config{i} done ({time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
             if i == 4:
                 for sub in r.values():
                     sub["roofline_fraction"] = round(

@@ -229,3 +229,94 @@ def test_ipc_temporal_types():
     assert back.to_pydict() == b.to_pydict()
     table = paipc.open_stream(io.BytesIO(data)).read_all()
     assert table.column("ts").type == pa.timestamp("ns", "UTC")
+
+
+class TestIpcCompressionAndDeltaDicts:
+    """ZSTD body compression (reference arrow-ipc/src/compression.rs:142)
+    and delta dictionaries (writer.rs:1330-1362)."""
+
+    def test_zstd_roundtrip_ours(self):
+        import io
+
+        from arrowtpu.formats.ipc import read_stream, write_stream
+
+        b = at.record_batch({
+            "a": list(range(1000)),
+            "s": at.string_view(["word%d" % (i % 7) for i in range(1000)]),
+        })
+        plain = write_stream([b])
+        comp = write_stream([b], compression="zstd")
+        assert len(comp) < len(plain)  # actually compressed
+        out = read_stream(io.BytesIO(comp))
+        assert out[0].to_pydict() == b.to_pydict()
+
+    def test_pyarrow_reads_our_zstd(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        from arrowtpu.formats.ipc import write_stream
+
+        b = at.record_batch({"a": [1, 2, None, 4], "s": at.string_view(["x", "yy", None, "zzz"])})
+        data = write_stream([b], compression="zstd")
+        t = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+        assert t.column("a").to_pylist() == [1, 2, None, 4]
+        assert t.column("s").to_pylist() == ["x", "yy", None, "zzz"]
+
+    def test_we_read_pyarrow_zstd(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        from arrowtpu.formats.ipc import read_stream
+
+        t = pa.table({"a": [1, 2, None], "s": ["aa", None, "b"]})
+        sink = io.BytesIO()
+        opts = pa.ipc.IpcWriteOptions(compression="zstd")
+        with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+            w.write_table(t)
+        out = read_stream(io.BytesIO(sink.getvalue()))
+        assert out[0].to_pydict() == {"a": [1, 2, None], "s": ["aa", None, "b"]}
+
+    def test_delta_dictionary_stream(self):
+        import io
+
+        from arrowtpu.formats.ipc import StreamWriter, read_stream
+
+        d1 = at.dictionary_encode_host(["a", "b", "a"])
+        d2len = ["a", "b", "c", "c"]  # grows the dictionary by "c"
+        d2 = at.dictionary_encode_host(d2len)
+        schema = at.record_batch({"d": d1}).schema
+        sink = io.BytesIO()
+        w = StreamWriter(sink, schema)
+        w.write(at.record_batch({"d": d1}))
+        w.write(at.record_batch({"d": d2}))
+        w.finish()
+        data = sink.getvalue()
+        out = read_stream(io.BytesIO(data))
+        assert out[0].to_pydict() == {"d": ["a", "b", "a"]}
+        assert out[1].to_pydict() == {"d": d2len}
+
+    def test_pyarrow_reads_delta_dict(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        from arrowtpu.formats.ipc import StreamWriter
+
+        d1 = at.dictionary_encode_host(["x", "y"])
+        d2 = at.dictionary_encode_host(["x", "y", "z"])
+        schema = at.record_batch({"d": d1}).schema
+        sink = io.BytesIO()
+        w = StreamWriter(sink, schema)
+        w.write(at.record_batch({"d": d1}))
+        w.write(at.record_batch({"d": d2}))
+        w.finish()
+        rdr = pa.ipc.open_stream(io.BytesIO(sink.getvalue()))
+        t1 = rdr.read_next_batch()
+        t2 = rdr.read_next_batch()
+        assert t1.column("d").to_pylist() == ["x", "y"]
+        assert t2.column("d").to_pylist() == ["x", "y", "z"]
