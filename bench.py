@@ -36,6 +36,18 @@ import time
 import numpy as np
 
 
+def _enable_cache():
+    import jax
+
+    # persistent XLA compile cache: repeat bench runs (and the driver's
+    # end-of-round run) skip the expensive tunnel compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def _sync(out):
     import jax
 
@@ -316,6 +328,7 @@ def main():
 
     import sys
 
+    _enable_cache()
     t00 = time.time()
     roofline = measure_roofline_gbs()
     print(f"[bench] roofline {roofline:.0f} GB/s ({time.time()-t00:.0f}s)",
