@@ -135,6 +135,19 @@ class PrimitiveColumn(Column):
         from . import wide as wd
 
         n = self.concrete_length()
+        nlimb = st.decimal_limbs(self.dtype)
+        if nlimb is not None:
+            import decimal as _dec
+
+            from . import limbs as lb
+
+            ints = lb.join_ints(np.asarray(self.values)[:n])
+            scale = self.dtype.scale
+            vals = [_dec.Decimal(v).scaleb(-scale) for v in ints]
+            if self.validity is None:
+                return vals
+            valid = bm.to_numpy_bools(self.validity, n)
+            return [v if ok else None for v, ok in zip(vals, valid)]
         kind = self.wide
         if kind is not None:
             npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
@@ -553,6 +566,53 @@ def primitive(values, dtype: st.DataType = None, validity=None, length=None,
     if dtype is None:
         probe = np.asarray(values) if not isinstance(values, jax.Array) else values
         dtype = st.from_jnp(probe.dtype)
+
+    nlimb = st.decimal_limbs(dtype)
+    if nlimb is not None:
+        from . import limbs as lb
+
+        if isinstance(values, jax.Array):
+            if values.ndim != 2 or values.shape[-1] != nlimb:
+                raise st.InvalidArgumentError(
+                    f"decimal column from device array must be (n, {nlimb}) "
+                    "uint32 limbs")
+            values = values.astype(jnp.uint32)
+        else:
+            arr = np.asarray(values, dtype=object) if not isinstance(
+                values, np.ndarray) else values
+            if arr.dtype == np.uint32 and arr.ndim == 2:
+                pass  # already limbs
+            else:
+                # python ints / decimal.Decimal / None -> unscaled ints
+                import decimal as _dec
+
+                def unscaled(v):
+                    if v is None:
+                        return 0
+                    if isinstance(v, _dec.Decimal):
+                        q = v.scaleb(dtype.scale)
+                        return int(q.to_integral_value(rounding=_dec.ROUND_HALF_UP))
+                    return int(v)
+
+                arr = lb.split_ints([unscaled(v) for v in np.ravel(arr)], nlimb)
+            values = jnp.asarray(arr, jnp.uint32)
+        n = values.shape[0]
+        cap = round_up(max(n, 1) if capacity is None else capacity)
+        if cap < n:
+            raise st.InvalidArgumentError(f"capacity {cap} < data length {n}")
+        if cap != n:
+            values = jnp.pad(values, ((0, cap - n), (0, 0)))
+        if validity is not None:
+            validity = jnp.asarray(validity)
+            if validity.dtype == jnp.bool_:
+                if validity.shape[0] != cap:
+                    validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+                validity = bm.pack(validity)
+            assert validity.shape[0] == bm.num_words(cap)
+        return PrimitiveColumn(
+            values, validity, _as_length(n if length is None else length, cap),
+            dtype)
+
     kind = st.wide_kind(dtype)
     if kind is not None:
         if isinstance(values, jax.Array):

@@ -75,13 +75,15 @@ class _P:
         name = self.ident()
         if name in _SIMPLE:
             return _SIMPLE[name]
-        if name in ("decimal128", "decimal256"):
+        if name in ("decimal32", "decimal64", "decimal128", "decimal256"):
             self.eat("(")
             p = self.int()
             self.eat(",")
             s = self.int()
             self.eat(")")
-            cls = st.Decimal128 if name == "decimal128" else st.Decimal256
+            cls = {"decimal32": st.Decimal32, "decimal64": st.Decimal64,
+                   "decimal128": st.Decimal128,
+                   "decimal256": st.Decimal256}[name]
             return cls(p, s)
         if name == "fixed_size_binary":
             self.eat("[")

@@ -111,6 +111,13 @@ def _write_type(b: fb.Builder, dt: st.DataType) -> Tuple[int, int]:
         return T_MAP, b.end_table()
     if isinstance(dt, st.Dictionary):
         return _write_type(b, dt.value)  # field type is the VALUE type
+    nl = st.decimal_limbs(dt)
+    if nl is not None:
+        b.start_table()
+        b.slot_scalar(0, "i", dt.precision, 0)
+        b.slot_scalar(1, "i", dt.scale, 0)
+        b.slot_scalar(2, "i", nl * 32, 128)  # bitWidth
+        return T_DECIMAL, b.end_table()
     raise st.SchemaError(f"IPC: unsupported type {dt}")
 
 
@@ -202,6 +209,10 @@ def _read_type(f: fb.Table) -> st.DataType:
         kd = entries.dtype.fields[0].dtype
         vd = entries.dtype.fields[1].dtype
         return st.Map(kd, vd)
+    if tt == T_DECIMAL:
+        bits = t.scalar(2, "i", 128)
+        return st.decimal_for_limbs(
+            bits // 32, t.scalar(0, "i", 38), t.scalar(1, "i", 0))
     raise st.SchemaError(f"IPC: unsupported type id {tt}")
 
 

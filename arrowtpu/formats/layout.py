@@ -185,6 +185,15 @@ def layout_to_column(node: Node, dt: st.DataType) -> col.Column:
         )
         values = node.dictionary
         return col.DictionaryColumn(keys, values, None, dt)
+    nl_dec = st.decimal_limbs(dt)
+    if nl_dec is not None:
+        limbs_np = np.frombuffer(
+            bufs[1].tobytes(), np.uint32, count=n * nl_dec
+        ).reshape(n, nl_dec).copy()
+        if validity is not None:
+            ok = bm.to_numpy_bools(validity, n)
+            limbs_np[~ok] = 0
+        return col.primitive(limbs_np, dt, validity=validity, capacity=cap)
     if dt.is_primitive or isinstance(dt, st.Int) or isinstance(dt, st.Float):
         kind = st.wide_kind(dt)
         if kind is not None:

@@ -51,6 +51,7 @@ E_DELTA_BYTE_ARRAY, E_BYTE_STREAM_SPLIT = 7, 9
 C_NONE, C_SNAPPY, C_GZIP, C_ZSTD = 0, 1, 2, 6
 # converted types
 CONV_UTF8, CONV_DATE, CONV_TS_MS, CONV_TS_US = 0, 6, 9, 10
+CONV_DECIMAL = 5
 CONV_UINT8, CONV_UINT16, CONV_UINT32, CONV_UINT64 = 11, 12, 13, 14
 CONV_INT8, CONV_INT16 = 15, 16
 
@@ -82,10 +83,58 @@ def _physical(dt: st.DataType) -> Tuple[int, Optional[int]]:
         return P_I64, CONV_TS_US  # s/ns callers should cast; us is default
     if isinstance(dt, st.Dictionary):
         return _physical(dt.value)
+    nl = st.decimal_limbs(dt)
+    if nl is not None:
+        # DECIMAL logical: INT32/INT64 physical for narrow widths, FLBA
+        # (big-endian two's complement) for 128/256-bit (reference
+        # parquet/src/arrow/schema/mod.rs decimal mapping)
+        if nl == 1:
+            return P_I32, CONV_DECIMAL
+        if nl == 2:
+            return P_I64, CONV_DECIMAL
+        return P_FLBA, CONV_DECIMAL
     raise st.SchemaError(f"parquet: unsupported type {dt}")
 
 
-def _logical(phys: int, conv: Optional[int]) -> st.DataType:
+def _type_length(dt: st.DataType):
+    """FLBA type_length for decimal dtypes, else None."""
+    nl = st.decimal_limbs(dt)
+    if nl is not None and nl >= 4:
+        return nl * 4
+    return None
+
+
+def _dec_to_flba(limbs_np: np.ndarray) -> np.ndarray:
+    """(n, nl) little-endian u32 limbs -> (n, nl*4) big-endian bytes."""
+    be = np.ascontiguousarray(limbs_np[:, ::-1]).astype(">u4")
+    return be.view(np.uint8).reshape(limbs_np.shape[0], -1)
+
+
+def _flba_to_limbs(vals2d: np.ndarray, nl: int) -> np.ndarray:
+    """(n, tl) big-endian two's-complement bytes -> (n, nl) LE u32 limbs."""
+    n, tl = vals2d.shape
+    want = nl * 4
+    if tl < want:
+        sign = (vals2d[:, 0] >= 0x80) if tl else np.zeros(n, bool)
+        pad = np.where(sign[:, None], np.uint8(0xFF), np.uint8(0))
+        vals2d = np.concatenate(
+            [np.broadcast_to(pad, (n, want - tl)), vals2d], axis=1)
+    elif tl > want:
+        vals2d = vals2d[:, tl - want:]
+    words = np.ascontiguousarray(vals2d).view(">u4").reshape(n, nl)
+    return words[:, ::-1].astype(np.uint32)
+
+
+def _logical(phys: int, conv: Optional[int],
+             elem: Optional[dict] = None) -> st.DataType:
+    if conv == CONV_DECIMAL and elem is not None:
+        scale = elem.get(7, 0)
+        precision = elem.get(8, 38)
+        # storage width from precision (our column widths: 1/2/4/8 limbs)
+        for nl in (1, 2, 4, 8):
+            if precision <= st.MAX_DECIMAL_PRECISION[nl]:
+                return st.decimal_for_limbs(nl, precision, scale)
+        raise st.SchemaError(f"parquet: decimal precision {precision} > 76")
     if phys == P_BOOL:
         return st.boolean
     if phys == P_I32:
@@ -313,6 +362,16 @@ def _column_values(c: col.Column):
     if isinstance(c, col.PrimitiveColumn):
         from ..core import wide as wd
 
+        nl = st.decimal_limbs(c.dtype)
+        if nl is not None:
+            limbs_np = np.asarray(c.values)[:n][valid]
+            if nl == 1:
+                vals = limbs_np[:, 0].astype(np.uint32).view(np.int32)
+            elif nl == 2:
+                vals = wd.join_numpy(limbs_np, np.int64)
+            else:
+                vals = _dec_to_flba(limbs_np)  # (n, nl*4) u8 big-endian
+            return vals, valid
         kind = c.wide
         if kind is not None:
             npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
@@ -874,13 +933,15 @@ class ParquetFile:
             start = self._field_leaf_start[fi]
             if not is_nested(field.dtype):
                 chunk = rg[1][start]
-                cols.append(self._read_chunk(chunk, field.dtype, num_rows, field.nullable))
+                cols.append(self._read_chunk(
+                    chunk, field.dtype, num_rows, field.nullable,
+                    tl=self._leaf_info[start][4]))
             else:
                 datas = []
                 for k in range(_leaf_count(field.dtype)):
-                    md, mr, ldt, lnull = self._leaf_info[start + k]
+                    md, mr, ldt, lnull, ltl = self._leaf_info[start + k]
                     defs, reps, values = self._read_chunk_levels(
-                        rg[1][start + k], md, mr)
+                        rg[1][start + k], md, mr, tl=ltl)
                     datas.append(LeafData(defs, reps, values, ldt, lnull, md))
                 cols.append(assemble_column(field, datas, num_rows))
             fields.append(field)
@@ -897,7 +958,7 @@ class ParquetFile:
         return batches[0] if len(batches) == 1 else concat_batches(batches)
 
     def _read_chunk(self, chunk: Dict[int, Any], dt: st.DataType, num_rows: int,
-                    nullable: bool = True) -> col.Column:
+                    nullable: bool = True, tl: Optional[int] = None) -> col.Column:
         cm = chunk[3]
         phys = cm[1]
         codec = cm[4]
@@ -917,7 +978,7 @@ class ParquetFile:
             pos = r.pos + comp
             if page_type == 2:  # dictionary
                 dph = hdr[7]
-                dictionary = self._decode_dict_page(body, phys, dph[1])
+                dictionary = self._decode_dict_page(body, phys, dph[1], tl=tl)
                 continue
             if page_type != 0:
                 raise st.ArrowTpuError(f"parquet: unsupported page type {page_type}")
@@ -926,7 +987,7 @@ class ParquetFile:
             enc = dph[2]
             vals, defs, _reps = self._decode_data_page(
                 body, phys, enc, nvals, dictionary,
-                1 if nullable else 0, 0)
+                1 if nullable else 0, 0, tl=tl)
             values.append(vals)
             valid_parts.append(defs == 1 if defs is not None
                                else np.ones(nvals, bool))
@@ -935,7 +996,7 @@ class ParquetFile:
         return _assemble(values, valid, phys, dt, num_rows)
 
     def _read_chunk_levels(self, chunk: Dict[int, Any], max_def: int,
-                           max_rep: int):
+                           max_rep: int, tl: Optional[int] = None):
         """Nested leaf: concatenated (def_levels, rep_levels, values)."""
         cm = chunk[3]
         phys = cm[1]
@@ -956,7 +1017,7 @@ class ParquetFile:
             pos = r.pos + comp
             if page_type == 2:
                 dph = hdr[7]
-                dictionary = self._decode_dict_page(body, phys, dph[1])
+                dictionary = self._decode_dict_page(body, phys, dph[1], tl=tl)
                 continue
             if page_type != 0:
                 raise st.ArrowTpuError(f"parquet: unsupported page type {page_type}")
@@ -964,7 +1025,7 @@ class ParquetFile:
             nvals = dph[1]
             enc = dph[2]
             vals, defs, reps = self._decode_data_page(
-                body, phys, enc, nvals, dictionary, max_def, max_rep)
+                body, phys, enc, nvals, dictionary, max_def, max_rep, tl=tl)
             values.append(vals)
             defs_parts.append(defs if defs is not None
                               else np.zeros(nvals, np.int32))
@@ -982,7 +1043,11 @@ class ParquetFile:
             vals = np.concatenate(values) if values else np.zeros(0)
         return defs.astype(np.int32), reps.astype(np.int32), vals
 
-    def _decode_dict_page(self, body: bytes, phys: int, encoding: int):
+    def _decode_dict_page(self, body: bytes, phys: int, encoding: int,
+                          tl: Optional[int] = None):
+        if phys == P_FLBA:
+            n = len(body) // tl
+            return np.frombuffer(body, np.uint8, count=n * tl).reshape(n, tl)
         if phys == P_BYTES:
             out = []
             pos = 0
@@ -995,7 +1060,8 @@ class ParquetFile:
         return np.frombuffer(body, dtype=npdt)
 
     def _decode_data_page(self, body: bytes, phys: int, enc: int, nvals: int,
-                          dictionary, max_def: int, max_rep: int):
+                          dictionary, max_def: int, max_rep: int,
+                          tl: Optional[int] = None):
         """Returns (values, def_levels|None, rep_levels|None).  Data page
         v1 framing: [rep RLE][def RLE][values], each level block a 4-byte
         length + RLE/bit-packed hybrid, present iff its max level > 0
@@ -1055,6 +1121,10 @@ class ParquetFile:
                 out.append(payload[pos + 4 : pos + 4 + ln])
                 pos += 4 + ln
             return out, defs, reps
+        if phys == P_FLBA:
+            vals = np.frombuffer(payload, np.uint8,
+                                 count=n_non_null * tl).reshape(n_non_null, tl)
+            return vals, defs, reps
         npdt = {P_I32: "<i4", P_I64: "<i8", P_FLOAT: "<f4", P_DOUBLE: "<f8"}[phys]
         return np.frombuffer(payload, dtype=npdt, count=n_non_null), defs, reps
 
@@ -1083,6 +1153,22 @@ def _assemble(values, valid: np.ndarray, phys: int, dt: st.DataType, num_rows: i
         else:
             out = [None if b is None else bytes(b) for b in out]
         return col.from_pylist(out, dt)
+    nl = st.decimal_limbs(dt)
+    if nl is not None:
+        vals = (np.concatenate(values, axis=0) if values
+                else np.zeros((0, nl * 4), np.uint8))
+        if vals.ndim == 2:  # FLBA big-endian bytes
+            limbs_np = _flba_to_limbs(vals, nl)
+        elif vals.dtype == np.int32 or vals.dtype.itemsize == 4:
+            limbs_np = vals.astype(np.int32).view(np.uint32).reshape(-1, 1)
+        else:
+            from ..core import wide as wd
+
+            limbs_np = wd.split_numpy(vals.astype(np.int64))
+        full = np.zeros((n, nl), np.uint32)
+        full[valid] = limbs_np if limbs_np.shape[1] == nl else np.pad(
+            limbs_np, ((0, 0), (0, nl - limbs_np.shape[1])))
+        return col.primitive(full, dt, validity=validity, capacity=cap)
     vals = np.concatenate(values) if values else np.zeros(0)
     if phys == P_BOOL:
         full = np.zeros(n, bool)

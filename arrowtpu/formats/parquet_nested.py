@@ -475,10 +475,16 @@ def write_schema_elements(w, name: str, dt: st.DataType, nullable: bool):
     phys, conv = _physical(dt)
     w.struct_begin()
     w.field_i32(1, phys)
+    nl = st.decimal_limbs(dt)
+    if nl is not None and nl >= 4:
+        w.field_i32(2, nl * 4)  # FLBA type_length
     w.field_i32(3, rep)
     w.field_string(4, name)
     if conv is not None:
         w.field_i32(6, conv)
+    if nl is not None:
+        w.field_i32(7, dt.scale)
+        w.field_i32(8, dt.precision)
     w.struct_end()
 
 
@@ -504,8 +510,8 @@ def parse_schema_tree(elems: List[dict], i: int) -> Tuple[st.Field, int, List]:
         d2 = d + (1 if opt else 0) + (1 if repeated else 0)
         r2 = r + (1 if repeated else 0)
         if not nchild:
-            dt = _logical(e[1], conv)
-            return dt, opt, i + 1, [(d2, r2, dt, opt)]
+            dt = _logical(e[1], conv, e)
+            return dt, opt, i + 1, [(d2, r2, dt, opt, e.get(2))]
         if conv == CONV_LIST:
             # group (LIST) { repeated group { element } }
             mid = elems[i + 1]

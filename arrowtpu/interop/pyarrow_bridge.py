@@ -76,6 +76,16 @@ def dtype_to_pa(dt: st.DataType):
         return pa.dictionary(dtype_to_pa(dt.key), dtype_to_pa(dt.value))
     if isinstance(dt, st.Decimal128):
         return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, st.Decimal256):
+        return pa.decimal256(dt.precision, dt.scale)
+    if isinstance(dt, st.Decimal32):
+        if hasattr(pa, "decimal32"):
+            return pa.decimal32(dt.precision, dt.scale)
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, st.Decimal64):
+        if hasattr(pa, "decimal64"):
+            return pa.decimal64(dt.precision, dt.scale)
+        return pa.decimal128(dt.precision, dt.scale)
     if isinstance(dt, st.List):
         return pa.list_(dtype_to_pa(dt.value))
     if isinstance(dt, st.FixedSizeList):
@@ -119,6 +129,9 @@ def dtype_from_pa(t) -> st.DataType:
         hasattr(pa.types, "is_binary_view") and pa.types.is_binary_view(t)
     ):
         return st.binary
+    if pa.types.is_decimal(t):
+        nl = t.bit_width // 32
+        return st.decimal_for_limbs(nl, t.precision, t.scale)
     if pa.types.is_dictionary(t):
         return st.Dictionary(dtype_from_pa(t.index_type), dtype_from_pa(t.value_type))
     if pa.types.is_map(t):
@@ -176,6 +189,16 @@ def _validity_to_pa_buffer(c: col.Column):
 
 def _primitive_to_pa(c: col.PrimitiveColumn):
     n = c.concrete_length()
+    nlimb = st.decimal_limbs(c.dtype)
+    if nlimb is not None:
+        # limbs are little-endian u32: the flat bytes ARE the Arrow decimal
+        # buffer layout (two's-complement little-endian words)
+        vals = np.ascontiguousarray(np.asarray(c.values)[:n])
+        validity, null_count = _validity_to_pa_buffer(c)
+        return pa.Array.from_buffers(
+            dtype_to_pa(c.dtype), n, [validity, pa.py_buffer(vals.tobytes())],
+            null_count=null_count,
+        )
     kind = c.wide
     if kind is not None:
         npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
@@ -369,6 +392,16 @@ def _primitive_from_pa(a, dt: st.DataType) -> col.PrimitiveColumn:
     n = len(a)
     cap = round_up(max(n, 1))
     itemsize = a.type.bit_width // 8
+    nlimb = st.decimal_limbs(dt)
+    if nlimb is not None:
+        raw = (np.frombuffer(a.buffers()[1], dtype=np.uint8, count=n * itemsize)
+               if n else np.zeros(0, np.uint8))
+        limbs_np = raw.view(np.uint32).reshape(n, nlimb).copy()
+        validity = _validity_from_pa(a, cap)
+        if a.null_count:
+            bits = bm.to_numpy_bools(validity, n)
+            limbs_np[~bits] = 0
+        return col.primitive(limbs_np, dt, validity=validity, capacity=cap)
     raw = np.frombuffer(a.buffers()[1], dtype=np.uint8, count=n * itemsize) if n else np.zeros(0, np.uint8)
     npdt = np.dtype(dtype_to_pa(dt).to_pandas_dtype()) if not isinstance(dt, (st.Timestamp, st.Date32, st.Date64, st.Time32, st.Time64, st.Duration)) else None
     if npdt is None:

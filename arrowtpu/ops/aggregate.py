@@ -36,6 +36,12 @@ def _masked(c: col.Column):
 
 def sum_(c: col.Column):
     """reference aggregate.rs:943 — wrapping sum, nulls skipped."""
+    if (isinstance(c, col.PrimitiveColumn)
+            and st.decimal_limbs(c.dtype) is not None):
+        from . import decimal as dec
+
+        s, cnt = dec.sum_(c)
+        return s, cnt > 0
     if isinstance(c, col.PrimitiveColumn) and c.wide is not None:
         ok = c.valid_bool()
         if c.wide == "f64":
@@ -103,7 +109,16 @@ def _wide_minmax(c, is_min: bool):
     return best, jnp.any(ok)
 
 
+def _decimal_minmax(c, is_min):
+    from . import decimal as dec
+
+    return dec.min_max(c, is_min)
+
+
 def min_(c: col.Column):
+    if (isinstance(c, col.PrimitiveColumn)
+            and st.decimal_limbs(c.dtype) is not None):
+        return _decimal_minmax(c, True)
     """reference aggregate.rs:1012 — skips nulls."""
     if isinstance(c, col.PrimitiveColumn) and c.wide is not None:
         return _wide_minmax(c, True)
@@ -118,6 +133,9 @@ def min_(c: col.Column):
 
 
 def max_(c: col.Column):
+    if (isinstance(c, col.PrimitiveColumn)
+            and st.decimal_limbs(c.dtype) is not None):
+        return _decimal_minmax(c, False)
     """reference aggregate.rs:1027."""
     if isinstance(c, col.PrimitiveColumn) and c.wide is not None:
         return _wide_minmax(c, False)
@@ -154,6 +172,12 @@ def finalize(pair, dtype: st.DataType = None):
     if not bool(has):
         return None
     v = np.asarray(value)
+    if dtype is not None and st.decimal_limbs(dtype) is not None:
+        import decimal as _pydec
+
+        from ..core import limbs as lb
+
+        return _pydec.Decimal(lb.join_ints(v[None])[0]).scaleb(-dtype.scale)
     if v.shape == (2,) and v.dtype == np.uint32:
         kind = st.wide_kind(dtype) if dtype is not None else "i64"
         npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]

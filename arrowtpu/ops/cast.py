@@ -323,6 +323,35 @@ def cast(c: col.Column, to_dt: st.DataType, options: CastOptions = CastOptions()
         )
         return col.StructColumn(children, c.validity, c.length, to_dt)
 
+    # decimal source / target (reference arrow-cast/src/cast/decimal.rs)
+    from_dec = st.decimal_limbs(from_dt) is not None
+    to_dec = st.decimal_limbs(to_dt) is not None
+    if from_dec or to_dec:
+        from . import decimal as dec
+
+        if from_dec and to_dec:
+            return dec.rescale(c, to_dt, safe=options.safe)
+        if from_dec:
+            if isinstance(to_dt, st.Int) and to_dt.bits == 64 and to_dt.signed:
+                return dec.to_int(c, to_dt, safe=options.safe)
+            if isinstance(to_dt, st.Int):
+                return cast(dec.to_int(c, st.int64, safe=options.safe),
+                            to_dt, options)
+            if isinstance(to_dt, st.Float):
+                out = dec.to_float(c)
+                return out if to_dt.bits == 64 else cast(out, to_dt, options)
+            if isinstance(to_dt, (st.Utf8, st.Binary)):
+                return dec.to_string(c)
+            raise st.CastError(f"cast {from_dt} -> {to_dt} unsupported")
+        # to_dec from numeric/string
+        if isinstance(c, col.StringViewColumn):
+            return dec.from_string(c, to_dt)
+        if isinstance(from_dt, st.Int):
+            return dec.from_int(c, to_dt)
+        if isinstance(from_dt, st.Float):
+            return dec.from_float(c, to_dt)
+        raise st.CastError(f"cast {from_dt} -> {to_dt} unsupported")
+
     # string source
     if isinstance(c, col.StringViewColumn):
         if isinstance(to_dt, (st.Utf8, st.Binary)):

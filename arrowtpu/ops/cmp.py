@@ -66,6 +66,16 @@ def _cmp(a, b, op: str) -> col.BooleanColumn:
     a_col = isinstance(a, col.Column)
     b_col = isinstance(b, col.Column)
     base = a if a_col else b
+    for x, y in ((a, b), (b, a)):
+        if (isinstance(x, col.PrimitiveColumn)
+                and st.decimal_limbs(x.dtype) is not None):
+            from . import decimal as dec
+
+            if x is a:
+                return dec.cmp(a, b, op)
+            flip = {"lt": "gt", "gt": "lt", "lt_eq": "gt_eq",
+                    "gt_eq": "lt_eq"}.get(op, op)
+            return dec.cmp(b, a, flip)
     validity = bm.union(
         a.validity if a_col else None, b.validity if b_col else None
     )

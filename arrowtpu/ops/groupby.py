@@ -116,7 +116,7 @@ def _segmented_scan_to_groups(ctx: _Ctx, sorted_vals, combine, is_limb: bool):
         | (pos_ids == n_live - 1)  # final live row ends the last segment
     ) & ctx.live
     pos = jnp.where(is_last, ctx.seg_id_safe, ctx.cap)
-    out_shape = (ctx.cap, 2) if is_limb else (ctx.cap,)
+    out_shape = (ctx.cap,) + sorted_vals.shape[1:]
     out = jnp.zeros(out_shape, scanned.dtype).at[pos].set(scanned, mode="drop")
     return out
 
@@ -144,6 +144,11 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str) -> col.Column:
         raise st.ComputeError(f"aggregate on {type(c).__name__} unsupported")
 
     vals_sorted = vals[ctx.idx]
+
+    if (isinstance(c, col.PrimitiveColumn)
+            and st.decimal_limbs(c.dtype) is not None):
+        return _segment_agg_decimal(
+            c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v)
 
     if wide_kind is None:
         return _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v)
@@ -208,6 +213,46 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str) -> col.Column:
         return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
 
     raise st.ComputeError(f"unknown aggregate {agg!r}")
+
+
+def _segment_agg_decimal(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):
+    """Decimal SUM/MIN/MAX/MEAN via N-limb segmented scans (core/limbs.py).
+    Sum keeps the input scale; precision widens to the width max
+    (reference decimal aggregate semantics, arrow-arith aggregate.rs)."""
+    from ..core import limbs as lb
+
+    num_groups = ctx.num_groups
+    nl = vals_sorted.shape[-1]
+    if agg in ("sum", "mean"):
+        masked = jnp.where(ok_sorted[..., None], vals_sorted,
+                           jnp.zeros_like(vals_sorted))
+        s = _segmented_scan_to_groups(ctx, masked, lb.add, is_limb=True)
+        out_dt = st.decimal_for_limbs(
+            nl, st.MAX_DECIMAL_PRECISION[nl], c.dtype.scale)
+        if agg == "mean":
+            fv = lb.to_float(s) / jnp.maximum(cnt, 1).astype(jnp.float64)
+            fv = fv / float(10 ** c.dtype.scale)
+            return col.PrimitiveColumn(
+                wd.f64_from_value(fv), has_v, num_groups, st.float64)
+        return col.PrimitiveColumn(s, has_v, num_groups, out_dt)
+    if agg in ("min", "max"):
+        is_min = agg == "min"
+        key = vals_sorted.at[..., -1].set(
+            vals_sorted[..., -1] ^ jnp.uint32(0x80000000))
+        ident = jnp.full((nl,), 0xFFFFFFFF if is_min else 0, jnp.uint32)
+        masked = jnp.where(ok_sorted[..., None], key,
+                           jnp.broadcast_to(ident, key.shape))
+        if is_min:
+            combine = lambda x, y: jnp.where(
+                lb.lt_unsigned(x, y)[..., None], x, y)
+        else:
+            combine = lambda x, y: jnp.where(
+                lb.lt_unsigned(x, y)[..., None], y, x)
+        best = _segmented_scan_to_groups(ctx, masked, combine, is_limb=True)
+        best = best.at[..., -1].set(best[..., -1] ^ jnp.uint32(0x80000000))
+        best = jnp.where(has[..., None], best, jnp.zeros_like(best))
+        return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
+    raise st.ComputeError(f"decimal aggregate {agg!r} unsupported")
 
 
 def _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):

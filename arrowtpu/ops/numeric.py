@@ -86,15 +86,32 @@ def _int_binary(a, b, narrow_fn, wide_fn, f64_fn):
     return _emit(wide_fn(av, bv), validity, length, out_dtype)
 
 
+def _is_decimal(x):
+    return (isinstance(x, col.PrimitiveColumn)
+            and st.decimal_limbs(x.dtype) is not None)
+
+
 def add(a, b):
+    if _is_decimal(a) or _is_decimal(b):
+        from . import decimal as dec
+
+        return dec.add(a, b) if _is_decimal(a) else dec.add(b, a)
     return _int_binary(a, b, jnp.add, wd.add, jnp.add)
 
 
 def sub(a, b):
+    if _is_decimal(a):
+        from . import decimal as dec
+
+        return dec.sub(a, b)
     return _int_binary(a, b, jnp.subtract, wd.sub, jnp.subtract)
 
 
 def mul(a, b):
+    if _is_decimal(a) or _is_decimal(b):
+        from . import decimal as dec
+
+        return dec.mul(a, b) if _is_decimal(a) else dec.mul(b, a)
     return _int_binary(a, b, jnp.multiply, wd.mul, jnp.multiply)
 
 

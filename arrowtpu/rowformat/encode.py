@@ -122,7 +122,12 @@ def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.
         value_planes.append(lens.astype(_U32))
         valid = c.valid_bool()
     elif isinstance(c, col.PrimitiveColumn):
-        if c.wide is not None:
+        if st.decimal_limbs(c.dtype) is not None:
+            # signed N-limb order: sign-flipped top limb, then high->low
+            from ..core import limbs as lb
+
+            value_planes = lb.sort_planes(c.values)
+        elif c.wide is not None:
             value_planes = _wide_planes(c.values, c.wide)
         elif jnp.issubdtype(c.values.dtype, jnp.floating):
             value_planes = _float_planes(c.values)

@@ -200,6 +200,37 @@ class Duration(_Primitive):
 
 
 @dataclasses.dataclass(frozen=True)
+class Decimal32(DataType):
+    """32-bit decimal (reference Decimal32Type, arrow-schema datatype.rs).
+    Physically one uint32 limb (capacity, 1)."""
+
+    precision: int = 9
+    scale: int = 2
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def __str__(self):
+        return f"decimal32({self.precision},{self.scale})"
+
+
+@dataclasses.dataclass(frozen=True)
+class Decimal64(DataType):
+    """64-bit decimal (reference Decimal64Type). Two uint32 limbs."""
+
+    precision: int = 18
+    scale: int = 4
+
+    @property
+    def is_numeric(self):
+        return True
+
+    def __str__(self):
+        return f"decimal64({self.precision},{self.scale})"
+
+
+@dataclasses.dataclass(frozen=True)
 class Decimal128(DataType):
     """128-bit decimal, physically two int64 limbs (TPUs have no i128;
     reference uses native i128, arrow-buffer/src/bigint)."""
@@ -410,6 +441,32 @@ def wide_kind(dtype: DataType):
     if isinstance(dtype, (Timestamp, Date64, Time64, Duration)):
         return "i64"
     return None
+
+
+def decimal_limbs(dtype: DataType):
+    """Number of u32 limbs for a decimal dtype, else None.  Decimal columns
+    store (capacity, n_limbs) little-endian uint32 two's-complement limbs
+    (core/limbs.py; reference native i128 / software i256,
+    arrow-buffer/src/bigint/mod.rs:63)."""
+    if isinstance(dtype, Decimal32):
+        return 1
+    if isinstance(dtype, Decimal64):
+        return 2
+    if isinstance(dtype, Decimal128):
+        return 4
+    if isinstance(dtype, Decimal256):
+        return 8
+    return None
+
+
+def decimal_for_limbs(n: int, precision: int, scale: int) -> DataType:
+    return {1: Decimal32, 2: Decimal64, 4: Decimal128, 8: Decimal256}[n](
+        precision, scale)
+
+
+# max decimal digits representable per width (reference
+# arrow-schema DECIMAL128_MAX_PRECISION etc.)
+MAX_DECIMAL_PRECISION = {1: 9, 2: 18, 4: 38, 8: 76}
 
 
 def from_jnp(dt) -> DataType:
