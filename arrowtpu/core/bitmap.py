@@ -16,6 +16,26 @@ re-designed for the TPU VPU:
     buffer/boolean.rs:332);
   * validity union (AND-merge) mirrors NullBuffer::union (null.rs:79).
 
+DEVICE BIT ORDER (round-3 change): bit b of word i represents row
+b*num_words + i — "sublane-major", NOT Arrow's sequential order (row
+32i+b).  Rationale: packing Arrow order on TPU needs a 32:1 reduction
+across the minor dimension, which XLA lowers as a relayout + or-reduce
+(measured 0.45 ms per 8M-row predicate, 4.5x the cost of the compare
+it packs).  In sublane-major order, pack is `bools.reshape(32, nw)` —
+a FREE major-axis reshape — followed by 32 fused shift/ORs, and unpack
+is the mirror image; both fuse into their producers/consumers.  The
+order is invisible through this API (pack/unpack/row_mask_words/
+from_numpy_bools/to_numpy_bools are all consistent), but two rules
+follow:
+
+  1. word-level slicing/padding of a bitmap does NOT correspond to row
+     ranges (the mapping depends on num_words). Any capacity change must
+     round-trip through bools (unpack -> pad/slice -> pack).
+  2. host/interop boundaries (Arrow buffers, IPC, Parquet, C Data) must
+     convert via to_numpy_bools/from_numpy_bools (or the
+     words_to_arrow_bytes/arrow_bytes_to_words helpers), never copy
+     word arrays bit-for-bit.
+
 All functions are jit-safe and shape-static.
 """
 
@@ -42,25 +62,38 @@ def capacity_of(words: jax.Array) -> int:
 
 
 def pack(bools: jax.Array) -> jax.Array:
-    """bool (capacity,) -> packed uint32 (capacity/32,).
+    """bool (capacity,) -> packed uint32 (capacity/32,), sublane-major
+    order (bit b of word i = row b*nw + i; see module docstring).
 
-    XLA fuses the shift/sum into the producing elementwise op, so 'pack' on
-    the output of a comparison costs one pass over the data.
-    """
+    Fast path (nw % 128 == 0): reshape to (32, nw/128, 128) — a pure
+    major-axis split whose physical order matches TPU (8,128) tiling, so
+    it is layout-free — then 32 fused shift/ORs on (nw/128, 128) blocks.
+    'pack' on the output of a comparison costs one pass over the data."""
     n = bools.shape[0]
     nw = num_words(n)
-    b = bools.astype(_U32).reshape(nw, W)
-    weights = (jnp.uint32(1) << jnp.arange(W, dtype=_U32)).reshape(1, W)
-    return jnp.sum(b * weights, axis=1, dtype=_U32)
+    if nw % 128 == 0:
+        rows = bools.astype(_U32).reshape(W, nw // 128, 128)
+        shifts = jnp.arange(W, dtype=_U32).reshape(W, 1, 1)
+    else:
+        rows = bools.astype(_U32).reshape(W, nw)
+        shifts = jnp.arange(W, dtype=_U32).reshape(W, 1)
+    # one vector shift + one major-axis OR-reduce: 4 HLO ops total (the
+    # 32-way unrolled version bloated every jitted program's HLO)
+    return jnp.bitwise_or.reduce(rows << shifts, axis=0).reshape(nw)
 
 
 def unpack(words: jax.Array, capacity: int | None = None) -> jax.Array:
-    """packed uint32 -> bool (capacity,)."""
+    """packed uint32 -> bool (capacity,) (sublane-major order)."""
     nw = words.shape[0]
     cap = nw * W if capacity is None else capacity
     assert cap == nw * W, (cap, nw)
-    shifts = jnp.arange(W, dtype=_U32).reshape(1, W)
-    bits = (words.reshape(nw, 1) >> shifts) & jnp.uint32(1)
+    if nw % 128 == 0:
+        w2 = words.reshape(1, nw // 128, 128)
+        shifts = jnp.arange(W, dtype=_U32).reshape(W, 1, 1)
+    else:
+        w2 = words.reshape(1, nw)
+        shifts = jnp.arange(W, dtype=_U32).reshape(W, 1)
+    bits = (w2 >> shifts) & jnp.uint32(1)
     return bits.astype(jnp.bool_).reshape(cap)
 
 
@@ -95,24 +128,37 @@ def all_invalid(capacity: int) -> jax.Array:
 
 
 def row_mask_words(capacity: int, length) -> jax.Array:
-    """Packed mask with bits [0, length) set — the 'row is real data, not
-    padding' mask.  `length` may be traced."""
+    """Packed mask with rows [0, length) set — the 'row is real data, not
+    padding' mask.  `length` may be traced.
+
+    Sublane-major order: bit b of word i is row b*nw + i, so word i needs
+    bit b set iff b*nw + i < length, i.e. b < (length - i + nw - 1)/nw —
+    a per-word low-bit run of height ceil((length - i)/nw)."""
     nw = num_words(capacity)
     word_idx = jnp.arange(nw, dtype=jnp.int32)
-    full = jnp.int32(length) // W  # words fully set
-    rem = jnp.int32(length) - full * W
-    full_word = jnp.uint32(0xFFFFFFFF)
-    partial = jnp.where(
-        rem > 0, (jnp.uint32(1) << rem.astype(_U32)) - jnp.uint32(1), jnp.uint32(0)
-    )
-    return jnp.where(
-        word_idx < full, full_word, jnp.where(word_idx == full, partial, jnp.uint32(0))
-    )
+    h = jnp.clip((jnp.int32(length) - word_idx + nw - 1) // nw, 0, W)
+    full = jnp.uint32(0xFFFFFFFF)
+    return jnp.where(h >= W, full,
+                     (jnp.uint32(1) << h.astype(_U32)) - jnp.uint32(1))
 
 
 def row_mask_bool(capacity: int, length) -> jax.Array:
     """Boolean (capacity,) mask of real (non-padding) rows."""
     return jnp.arange(capacity, dtype=jnp.int32) < jnp.int32(length)
+
+
+def grow(words: jax.Array, new_capacity: int) -> jax.Array:
+    """Re-pack a bitmap at a larger capacity (new rows are 0/invalid).
+
+    Word-level padding is WRONG under the sublane-major order (the
+    row<->bit mapping depends on num_words), so any capacity change must
+    round-trip through bools."""
+    old_cap = capacity_of(words)
+    if new_capacity == old_cap:
+        return words
+    if new_capacity < old_cap:
+        raise ValueError(f"grow: {new_capacity} < {old_cap}")
+    return pack(jnp.pad(unpack(words), (0, new_capacity - old_cap)))
 
 
 def union(a, b):
@@ -134,15 +180,31 @@ def union_many(*bitmaps):
 
 
 def from_numpy_bools(bools: np.ndarray) -> jax.Array:
-    """Host-side pack (used by interop / builders)."""
+    """Host-side pack (used by interop / builders); sublane-major order."""
     cap = round_up(len(bools))
-    padded = np.zeros(cap, dtype=np.uint8)
-    padded[: len(bools)] = bools.astype(np.uint8)
-    words = padded.reshape(-1, W) << np.arange(W, dtype=np.uint32)
-    return jnp.asarray(words.sum(axis=1, dtype=np.uint32))
+    padded = np.zeros(cap, dtype=np.uint32)
+    padded[: len(bools)] = bools.astype(np.uint32)
+    rows = padded.reshape(W, cap // W)
+    words = np.zeros(cap // W, np.uint32)
+    for b in range(W):
+        words |= rows[b] << np.uint32(b)
+    return jnp.asarray(words)
 
 
 def to_numpy_bools(words, length: int) -> np.ndarray:
     w = np.asarray(words)
-    bits = (w[:, None] >> np.arange(W, dtype=np.uint32)) & 1
+    bits = ((w[None, :] >> np.arange(W, dtype=np.uint32)[:, None]) & 1)
     return bits.reshape(-1)[:length].astype(bool)
+
+
+def words_to_arrow_bytes(words, length: int) -> bytes:
+    """Device words -> Arrow validity-buffer bytes (LSB bit order)."""
+    return np.packbits(to_numpy_bools(words, length),
+                       bitorder="little").tobytes()
+
+
+def arrow_bytes_to_words(buf, length: int) -> jax.Array:
+    """Arrow validity-buffer bytes -> device words (capacity-padded)."""
+    raw = np.frombuffer(buf, np.uint8, count=(length + 7) // 8)
+    bits = np.unpackbits(raw, bitorder="little")[:length]
+    return from_numpy_bools(bits.astype(bool))

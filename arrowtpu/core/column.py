@@ -143,7 +143,10 @@ class PrimitiveColumn(Column):
 
             ints = lb.join_ints(np.asarray(self.values)[:n])
             scale = self.dtype.scale
-            vals = [_dec.Decimal(v).scaleb(-scale) for v in ints]
+            with _dec.localcontext(_dec.Context(prec=80)):
+                # default context (prec=28) silently rounds 38/76-digit
+                # decimals; Decimal128/256 need up to 76 digits exact
+                vals = [_dec.Decimal(v).scaleb(-scale) for v in ints]
             if self.validity is None:
                 return vals
             valid = bm.to_numpy_bools(self.validity, n)
@@ -590,8 +593,12 @@ def primitive(values, dtype: st.DataType = None, validity=None, length=None,
                     if v is None:
                         return 0
                     if isinstance(v, _dec.Decimal):
-                        q = v.scaleb(dtype.scale)
-                        return int(q.to_integral_value(rounding=_dec.ROUND_HALF_UP))
+                        # explicit 80-digit context: the default (28)
+                        # silently rounds Decimal128/256 magnitudes
+                        with _dec.localcontext(_dec.Context(prec=80)):
+                            q = v.scaleb(dtype.scale)
+                            return int(q.to_integral_value(
+                                rounding=_dec.ROUND_HALF_UP))
                     return int(v)
 
                 arr = lb.split_ints([unscaled(v) for v in np.ravel(arr)], nlimb)

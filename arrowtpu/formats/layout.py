@@ -160,7 +160,7 @@ def _validity_words(vbuf: np.ndarray, n: int, cap: int, null_count: int):
     bits = np.unpackbits(vbuf[: (n + 7) // 8], bitorder="little")[:n].astype(bool)
     padded = np.zeros(cap, bool)
     padded[:n] = bits
-    return jnp.asarray(np.packbits(padded, bitorder="little").view(np.uint32).copy())
+    return bm.from_numpy_bools(padded)
 
 
 def layout_to_column(node: Node, dt: st.DataType) -> col.Column:
@@ -177,7 +177,7 @@ def layout_to_column(node: Node, dt: st.DataType) -> col.Column:
         padded[:n] = bits
         if validity is not None:
             padded[:n] &= bm.to_numpy_bools(validity, n)
-        words = jnp.asarray(np.packbits(padded, bitorder="little").view(np.uint32).copy())
+        words = bm.from_numpy_bools(padded)
         return col.BooleanColumn(words, validity, jnp.int32(n))
     if isinstance(dt, st.Dictionary):
         keys = layout_to_column(

@@ -1139,7 +1139,7 @@ def _assemble(values, valid: np.ndarray, phys: int, dt: st.DataType, num_rows: i
         padded[:n] = valid
         import jax.numpy as jnp
 
-        validity = jnp.asarray(np.packbits(padded, bitorder="little").view(np.uint32).copy())
+        validity = bm.from_numpy_bools(padded)
     if phys == P_BYTES or (values and isinstance(values[0], list)):
         flat: List[bytes] = []
         for v in values:

@@ -376,7 +376,7 @@ def _pack_validity(ok: np.ndarray, num_slots: int):
     import jax.numpy as jnp
 
     return jnp.asarray(
-        np.packbits(padded, bitorder="little").view(np.uint32).copy())
+        bm.from_numpy_bools(padded))
 
 
 def _build_leaf(dt: st.DataType, nullable: bool, present: np.ndarray,

@@ -194,9 +194,21 @@ def _primitive_to_pa(c: col.PrimitiveColumn):
         # limbs are little-endian u32: the flat bytes ARE the Arrow decimal
         # buffer layout (two's-complement little-endian words)
         vals = np.ascontiguousarray(np.asarray(c.values)[:n])
+        patype = dtype_to_pa(c.dtype)
+        # pyarrow < 18 has no decimal32/64: dtype_to_pa falls back to
+        # decimal128, so widen 1/2-limb storage to 4 limbs sign-extended
+        # (ADVICE r2: exporting the narrow buffer made from_buffers read
+        # out of bounds)
+        want_limbs = patype.byte_width // 4
+        if want_limbs > nlimb:
+            sign = (vals[:, -1:].astype(np.int32) < 0)
+            ext = np.where(sign, np.uint32(0xFFFFFFFF), np.uint32(0))
+            vals = np.concatenate(
+                [vals, np.broadcast_to(ext, (n, want_limbs - nlimb))], axis=1)
+            vals = np.ascontiguousarray(vals)
         validity, null_count = _validity_to_pa_buffer(c)
         return pa.Array.from_buffers(
-            dtype_to_pa(c.dtype), n, [validity, pa.py_buffer(vals.tobytes())],
+            patype, n, [validity, pa.py_buffer(vals.tobytes())],
             null_count=null_count,
         )
     kind = c.wide
@@ -385,7 +397,7 @@ def _validity_from_pa(a, cap: int):
     bits = np.unpackbits(raw, bitorder="little")[:n]
     padded = np.zeros(cap, dtype=bool)
     padded[:n] = bits.astype(bool)
-    return jnp.asarray(np.packbits(padded, bitorder="little").view(np.uint32).copy())
+    return bm.from_numpy_bools(padded)
 
 
 def _primitive_from_pa(a, dt: st.DataType) -> col.PrimitiveColumn:
@@ -425,7 +437,7 @@ def _boolean_from_pa(a) -> col.BooleanColumn:
     validity = _validity_from_pa(a, cap)
     if a.null_count:
         padded[:n] &= bm.to_numpy_bools(validity, n)
-    words = jnp.asarray(np.packbits(padded, bitorder="little").view(np.uint32).copy())
+    words = bm.from_numpy_bools(padded)
     return col.BooleanColumn(words, validity, jnp.int32(n))
 
 
@@ -607,22 +619,21 @@ def _grow(c: col.Column, cap: int) -> col.Column:
     if isinstance(c, col.PrimitiveColumn):
         pad = ((0, cap - c.capacity), (0, 0)) if c.values.ndim == 2 else (0, cap - c.capacity)
         values = jnp.pad(c.values, pad)
-        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        validity = None if c.validity is None else bm.grow(c.validity, cap)
         return dc.replace(c, values=values, validity=validity)
     if isinstance(c, col.BooleanColumn):
-        extra = bm.num_words(cap) - c.values.shape[0]
         return dc.replace(
             c,
-            values=jnp.pad(c.values, (0, extra)),
-            validity=None if c.validity is None else jnp.pad(c.validity, (0, extra)),
+            values=bm.grow(c.values, cap),
+            validity=None if c.validity is None else bm.grow(c.validity, cap),
         )
     if isinstance(c, col.StringViewColumn):
-        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        validity = None if c.validity is None else bm.grow(c.validity, cap)
         return dc.replace(c, views=jnp.pad(c.views, ((0, cap - c.capacity), (0, 0))), validity=validity)
     if isinstance(c, col.DictionaryColumn):
         return dc.replace(c, keys=_grow(c.keys, cap))
     if isinstance(c, col.ListViewColumn):
-        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        validity = None if c.validity is None else bm.grow(c.validity, cap)
         return dc.replace(
             c,
             starts=jnp.pad(c.starts, (0, cap - c.capacity)),
@@ -630,12 +641,12 @@ def _grow(c: col.Column, cap: int) -> col.Column:
             validity=validity,
         )
     if isinstance(c, col.StructColumn):
-        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        validity = None if c.validity is None else bm.grow(c.validity, cap)
         return dc.replace(
             c, children=tuple(_grow(ch, cap) for ch in c.children), validity=validity
         )
     if isinstance(c, col.FixedSizeListColumn):
-        validity = None if c.validity is None else jnp.pad(c.validity, (0, bm.num_words(cap) - c.validity.shape[0]))
+        validity = None if c.validity is None else bm.grow(c.validity, cap)
         return dc.replace(
             c, child=_grow(c.child, cap * c.dtype.size), validity=validity
         )

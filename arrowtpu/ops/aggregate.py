@@ -177,7 +177,9 @@ def finalize(pair, dtype: st.DataType = None):
 
         from ..core import limbs as lb
 
-        return _pydec.Decimal(lb.join_ints(v[None])[0]).scaleb(-dtype.scale)
+        with _pydec.localcontext(_pydec.Context(prec=80)):
+            return _pydec.Decimal(
+                lb.join_ints(v[None])[0]).scaleb(-dtype.scale)
     if v.shape == (2,) and v.dtype == np.uint32:
         kind = st.wide_kind(dtype) if dtype is not None else "i64"
         npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]

