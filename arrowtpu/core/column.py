@@ -716,6 +716,12 @@ def from_pylist(data, dtype: st.DataType = None) -> Column:
         return string_view(data, dtype=dtype)
     if isinstance(dtype, st.Dictionary):
         return dictionary_encode_host(data, dtype)
+    if st.decimal_limbs(dtype) is not None:
+        return primitive(
+            data, dtype,
+            validity=bm.from_numpy_bools(valid) if has_nulls else None,
+            length=n,
+        )
     jdt = dtype.to_jnp()
     vals = np.array([x if x is not None else 0 for x in data], dtype=jdt)
     return primitive(

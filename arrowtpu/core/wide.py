@@ -245,6 +245,72 @@ def _divmod_unsigned(a, b):
     return q, r
 
 
+def mulhi64(a, b):
+    """High 64 bits of the full 128-bit product of two u64 limb pairs."""
+    al, ah = lo(a), hi(a)
+    bl, bh = lo(b), hi(b)
+    p0l, p0h = _mul32x32(al, bl)
+    p1l, p1h = _mul32x32(al, bh)
+    p2l, p2h = _mul32x32(ah, bl)
+    p3l, p3h = _mul32x32(ah, bh)
+    t1 = p0h + p1l
+    c1 = (t1 < p0h).astype(U32)
+    t1b = t1 + p2l
+    c1 = c1 + (t1b < t1).astype(U32)
+    t2 = p1h + p2h
+    c2 = (t2 < p1h).astype(U32)
+    t2b = t2 + p3l
+    c2 = c2 + (t2b < t2).astype(U32)
+    t2c = t2b + c1
+    c2 = c2 + (t2c < t2b).astype(U32)
+    return make(t2c, p3h + c2)
+
+
+def divmod_unsigned_const(a, d: int):
+    """Exact (a // d, a % d) for u64 limb pairs and a CONSTANT python-int
+    divisor — one multiply-high + <=2 corrections instead of the 64-round
+    shift/subtract loop (the reference relies on LLVM doing the same
+    strength reduction for its native i64 kernels)."""
+    shape = lo(a).shape
+    if d <= 0:
+        raise ValueError("divisor must be positive")
+    if d == 1:
+        return a, zeros(shape)
+    if d & (d - 1) == 0:
+        k = d.bit_length() - 1
+        q = shr(a, jnp.full(shape, k, U32))
+        r = and_(a, jnp.broadcast_to(
+            jnp.asarray(from_scalar(d - 1)), a.shape))
+        return q, r
+    m = (1 << 64) // d                     # floor(2^64 / d), < 2^64
+    mL = jnp.broadcast_to(jnp.asarray(
+        np.array([m & 0xFFFFFFFF, m >> 32], np.uint32)), a.shape)
+    dL = jnp.broadcast_to(jnp.asarray(
+        np.array([d & 0xFFFFFFFF, (d >> 32) & 0xFFFFFFFF], np.uint32)),
+        a.shape)
+    q = mulhi64(a, mL)
+    r = sub(a, mul(q, dL))
+    for _ in range(2):                     # q_est >= q - 2
+        ge = ~lt_unsigned(r, dL)
+        q = jnp.where(ge[..., None], add(q, jnp.asarray(from_scalar(1))), q)
+        r = jnp.where(ge[..., None], sub(r, dL), r)
+    return q, r
+
+
+def divmod_signed_const(a, d: int):
+    """Truncated (a // d toward zero, a % d with dividend sign) for i64
+    limb pairs and a constant divisor (reference rem/div semantics)."""
+    neg_d = d < 0
+    mag_d = -d if neg_d else d
+    na = is_negative(a)
+    mag_a = jnp.where(na[..., None], neg(a), a)
+    q, r = divmod_unsigned_const(mag_a, mag_d)
+    qneg = na ^ neg_d
+    q = jnp.where(qneg[..., None], neg(q), q)
+    r = jnp.where(na[..., None], neg(r), r)
+    return q, r
+
+
 def _is_zero(a):
     return (lo(a) == 0) & (hi(a) == 0)
 

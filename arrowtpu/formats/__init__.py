@@ -18,3 +18,10 @@ from .ipc import (
 )
 from .json import read_json, write_json
 from .parquet import ParquetFile, WriterProperties, read_parquet, write_parquet
+
+from .parquet_scan import (ArrowPredicate, ColumnPredicate,  # noqa: E402,F401
+                           RowFilter, RowSelection, RowSelector,
+                           ScanMetrics, scan_parquet)
+
+from . import avro  # noqa: E402,F401
+from .avro import AvroFile, read_avro, write_avro  # noqa: E402,F401

@@ -1,0 +1,677 @@
+"""Avro: Object Container Files, single-object and Confluent framings,
+schema JSON, binary encoding, and reader-schema resolution.
+
+Capability mirror of /root/reference/arrow-avro/src/ (lib.rs:57-67 names
+the three framings; reader/record.rs implements decode + resolution;
+schema.rs the JSON schema model; codec.rs/compression.rs the codecs).
+
+Scope (flat + one nesting level, matching the engine's column zoo):
+  * types: null, boolean, int, long, float, double, bytes, string,
+    record, array<primitive>, union(["null", T]) for nullable fields,
+    fixed, enum (-> dictionary), logical types date (int), timestamp
+    -millis/-micros (long), decimal (bytes/fixed)
+  * codecs: null, deflate (raw zlib), zstandard when available
+  * OCF: header metadata map (avro.schema / avro.codec), sync-marker
+    framed blocks, block skipping on corrupt sync
+  * single-object encoding (magic C3 01 + CRC-64-AVRO schema
+    fingerprint) and Confluent wire format (0x00 + 4-byte schema id)
+  * schema resolution (reader != writer schema): field matching by
+    name, numeric promotions int->long->float->double, string<->bytes,
+    reader defaults for missing fields, skipping unprojected writer
+    fields (reference reader/record.rs resolution rules)
+
+Host-side decode by design (like CSV/JSON/Parquet framing: the
+reference's hot loops are CPU too); decoded columns land device-side
+through the usual constructors.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import schema as st
+from ..core import batch as bt
+from ..core import column as col
+
+MAGIC = b"Obj\x01"
+SINGLE_OBJECT_MAGIC = b"\xc3\x01"
+
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec: zigzag varint longs, little-endian floats)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(out: bytearray, n: int) -> None:
+    u = _zigzag(int(n)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_long(buf, pos: int) -> Tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+def write_bytes(out: bytearray, b: bytes) -> None:
+    write_long(out, len(b))
+    out.extend(b)
+
+
+def read_bytes(buf, pos: int) -> Tuple[bytes, int]:
+    n, pos = read_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+# ---------------------------------------------------------------------------
+# arrow <-> avro schema
+# ---------------------------------------------------------------------------
+
+
+def dtype_to_avro(dt: st.DataType) -> Any:
+    if isinstance(dt, st.Null):
+        return "null"
+    if isinstance(dt, st.Boolean):
+        return "boolean"
+    if isinstance(dt, st.Int):
+        return "long" if dt.bits > 32 else "int"
+    if isinstance(dt, st.Float):
+        return "double" if dt.bits == 64 else "float"
+    if isinstance(dt, st.Utf8):
+        return "string"
+    if isinstance(dt, st.Binary):
+        return "bytes"
+    if isinstance(dt, st.Date32):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, st.Timestamp):
+        lt = "timestamp-millis" if dt.unit == "ms" else "timestamp-micros"
+        return {"type": "long", "logicalType": lt}
+    if st.decimal_limbs(dt) is not None:
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
+    if isinstance(dt, st.List):
+        return {"type": "array", "items": dtype_to_avro(dt.value)}
+    if isinstance(dt, st.Dictionary):
+        return dtype_to_avro(dt.value)
+    if isinstance(dt, st.Struct):
+        return {"type": "record", "name": "rec" + str(abs(hash(dt)) % 9999),
+                "fields": [
+                    {"name": f.name, "type": _nullable(f)} for f in dt.fields]}
+    raise st.SchemaError(f"avro: unsupported type {dt}")
+
+
+def _nullable(f: st.Field) -> Any:
+    t = dtype_to_avro(f.dtype)
+    return ["null", t] if f.nullable else t
+
+
+def schema_to_avro_json(schema: st.Schema, name: str = "topLevelRecord") -> str:
+    return json.dumps({
+        "type": "record",
+        "name": name,
+        "fields": [{"name": f.name, "type": _nullable(f)}
+                   for f in schema.fields],
+    })
+
+
+def avro_to_dtype(s: Any) -> Tuple[st.DataType, bool]:
+    """avro schema node -> (dtype, nullable)."""
+    if isinstance(s, list):  # union
+        others = [x for x in s if x != "null"]
+        if len(others) != 1:
+            raise st.SchemaError(f"avro: general unions unsupported: {s}")
+        dt, _ = avro_to_dtype(others[0])
+        return dt, True
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        t = s.get("type")
+        if lt == "date":
+            return st.Date32(), False
+        if lt == "timestamp-millis":
+            return st.Timestamp("ms"), False
+        if lt == "timestamp-micros":
+            return st.Timestamp("us"), False
+        if lt == "decimal":
+            prec = s.get("precision", 38)
+            scale = s.get("scale", 0)
+            for nl in (1, 2, 4, 8):
+                if prec <= st.MAX_DECIMAL_PRECISION[nl]:
+                    return st.decimal_for_limbs(nl, prec, scale), False
+        if t == "array":
+            dt, _ = avro_to_dtype(s["items"])
+            return st.List(dt), False
+        if t == "enum":
+            return st.Dictionary(st.int32, st.utf8), False
+        if t == "fixed":
+            return st.binary, False
+        if t == "record":
+            fields = []
+            for f in s["fields"]:
+                dt, nullable = avro_to_dtype(f["type"])
+                fields.append(st.Field(f["name"], dt, nullable))
+            return st.Struct(tuple(fields)), False
+        if t == "map":
+            vdt, _ = avro_to_dtype(s["values"])
+            return st.Map(st.utf8, vdt), False
+        return avro_to_dtype(t)
+    prim = {
+        "null": st.null, "boolean": st.boolean, "int": st.int32,
+        "long": st.int64, "float": st.float32, "double": st.float64,
+        "bytes": st.binary, "string": st.utf8,
+    }
+    if s in prim:
+        return prim[s], False
+    raise st.SchemaError(f"avro: unsupported schema {s!r}")
+
+
+def avro_schema_to_arrow(s: Any) -> st.Schema:
+    if not (isinstance(s, dict) and s.get("type") == "record"):
+        raise st.SchemaError("avro: top-level schema must be a record")
+    fields = []
+    for f in s["fields"]:
+        dt, nullable = avro_to_dtype(f["type"])
+        fields.append(st.Field(f["name"], dt, nullable))
+    return st.Schema(tuple(fields))
+
+
+# ---------------------------------------------------------------------------
+# value encode/decode (host row plane)
+# ---------------------------------------------------------------------------
+
+
+def _encode_value(out: bytearray, s: Any, v: Any) -> None:
+    if isinstance(s, list):
+        if v is None:
+            write_long(out, s.index("null"))
+            return
+        idx = next(i for i, x in enumerate(s) if x != "null")
+        write_long(out, idx)
+        _encode_value(out, s[idx], v)
+        return
+    if isinstance(s, dict):
+        t = s.get("type")
+        lt = s.get("logicalType")
+        if lt == "decimal":
+            import decimal as _d
+
+            with _d.localcontext(_d.Context(prec=80)):
+                unscaled = int(_d.Decimal(v).scaleb(s.get("scale", 0))
+                               .to_integral_value(rounding=_d.ROUND_HALF_UP))
+            blen = max((unscaled.bit_length() + 8) // 8, 1)
+            write_bytes(out, unscaled.to_bytes(blen, "big", signed=True))
+            return
+        if t == "array":
+            if v:
+                write_long(out, len(v))
+                for item in v:
+                    _encode_value(out, s["items"], item)
+            write_long(out, 0)
+            return
+        if t == "map":
+            if v:
+                write_long(out, len(v))
+                for k, item in v.items():
+                    write_bytes(out, k.encode())
+                    _encode_value(out, s["values"], item)
+            write_long(out, 0)
+            return
+        if t == "record":
+            for f in s["fields"]:
+                _encode_value(out, f["type"], v[f["name"]])
+            return
+        if t == "enum":
+            write_long(out, s["symbols"].index(v))
+            return
+        if t == "fixed":
+            out.extend(v)
+            return
+        _encode_value(out, t, v)
+        return
+    if s == "null":
+        return
+    if s == "boolean":
+        out.append(1 if v else 0)
+        return
+    if s in ("int", "long"):
+        write_long(out, int(v))
+        return
+    if s == "float":
+        out.extend(struct.pack("<f", float(v)))
+        return
+    if s == "double":
+        out.extend(struct.pack("<d", float(v)))
+        return
+    if s == "bytes":
+        write_bytes(out, bytes(v))
+        return
+    if s == "string":
+        write_bytes(out, v.encode() if isinstance(v, str) else bytes(v))
+        return
+    raise st.SchemaError(f"avro: cannot encode {s!r}")
+
+
+def _decode_value(buf, pos: int, s: Any) -> Tuple[Any, int]:
+    if isinstance(s, list):
+        idx, pos = read_long(buf, pos)
+        branch = s[idx]
+        if branch == "null":
+            return None, pos
+        return _decode_value(buf, pos, branch)
+    if isinstance(s, dict):
+        t = s.get("type")
+        lt = s.get("logicalType")
+        if lt == "decimal":
+            import decimal as _d
+
+            raw, pos = read_bytes(buf, pos)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            with _d.localcontext(_d.Context(prec=80)):
+                return (_d.Decimal(unscaled).scaleb(-s.get("scale", 0)),
+                        pos)
+        if t == "array":
+            out = []
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte size prefix
+                    _, pos = read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = _decode_value(buf, pos, s["items"])
+                    out.append(v)
+        if t == "map":
+            out = {}
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = read_bytes(buf, pos)
+                    v, pos = _decode_value(buf, pos, s["values"])
+                    out[k.decode()] = v
+        if t == "record":
+            out = {}
+            for f in s["fields"]:
+                out[f["name"]], pos = _decode_value(buf, pos, f["type"])
+            return out, pos
+        if t == "enum":
+            idx, pos = read_long(buf, pos)
+            return s["symbols"][idx], pos
+        if t == "fixed":
+            n = s["size"]
+            return bytes(buf[pos : pos + n]), pos + n
+        return _decode_value(buf, pos, t)
+    if s == "null":
+        return None, pos
+    if s == "boolean":
+        return buf[pos] != 0, pos + 1
+    if s in ("int", "long"):
+        return read_long(buf, pos)
+    if s == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if s == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if s == "bytes":
+        return read_bytes(buf, pos)
+    if s == "string":
+        b, pos = read_bytes(buf, pos)
+        return b.decode("utf-8"), pos
+    raise st.SchemaError(f"avro: cannot decode {s!r}")
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader vs writer; reference reader/record.rs)
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _base(s):
+    if isinstance(s, dict):
+        return s.get("type")
+    return s
+
+
+def _promote(v, wt: str, rt: str):
+    if v is None:
+        return None
+    if rt in ("long", "int"):
+        return int(v)
+    if rt in ("float", "double"):
+        return float(v)
+    if rt == "string":
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
+    if rt == "bytes":
+        return v.encode() if isinstance(v, str) else v
+    return v
+
+
+def resolve_record(writer: dict, reader: dict, row: dict) -> dict:
+    """Apply reader-schema resolution to one decoded writer row."""
+    out = {}
+    wfields = {f["name"]: f for f in writer["fields"]}
+    for rf in reader["fields"]:
+        name = rf["name"]
+        wf = wfields.get(name)
+        if wf is None:
+            if "default" in rf:
+                out[name] = rf["default"]
+                continue
+            rtypes = rf["type"] if isinstance(rf["type"], list) else [rf["type"]]
+            if "null" in rtypes:
+                out[name] = None
+                continue
+            raise st.SchemaError(f"avro: reader field {name} missing and has no default")
+        v = row[name]
+        wt = _base(_strip_union(wf["type"]))
+        rt = _base(_strip_union(rf["type"]))
+        if wt != rt and (wt, rt) not in _PROMOTIONS:
+            raise st.SchemaError(f"avro: cannot resolve {wt} -> {rt} for {name}")
+        out[name] = _promote(v, wt, rt) if wt != rt else v
+    return out
+
+
+def _strip_union(s):
+    if isinstance(s, list):
+        others = [x for x in s if x != "null"]
+        return others[0] if others else "null"
+    return s
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+def _compress(codec: str, data: bytes) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":  # raw deflate, no zlib header (avro spec)
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return c.compress(data) + c.flush()
+    if codec == "zstandard":
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    raise st.ArrowTpuError(f"avro: unsupported codec {codec}")
+
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        return zlib.decompress(data, -15)
+    if codec == "zstandard":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data)
+    raise st.ArrowTpuError(f"avro: unsupported codec {codec}")
+
+
+def supported_codecs() -> List[str]:
+    out = ["null", "deflate"]
+    try:
+        import zstandard  # noqa: F401
+
+        out.append("zstandard")
+    except Exception:
+        pass
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OCF writer / reader (reference writer/mod.rs, reader/mod.rs)
+# ---------------------------------------------------------------------------
+
+
+def write_avro(batches, sink=None, *, codec: str = "null",
+               block_rows: int = 64 * 1024) -> Optional[bytes]:
+    """Write RecordBatches as an Object Container File."""
+    if isinstance(batches, bt.RecordBatch):
+        batches = [batches]
+    own = sink is None
+    sink = sink or io.BytesIO()
+    schema = batches[0].schema
+    sjson = schema_to_avro_json(schema)
+    savro = json.loads(sjson)
+    sync = os.urandom(16)
+    sink.write(MAGIC)
+    meta = bytearray()
+    write_long(meta, 2)
+    write_bytes(meta, b"avro.schema")
+    write_bytes(meta, sjson.encode())
+    write_bytes(meta, b"avro.codec")
+    write_bytes(meta, codec.encode())
+    write_long(meta, 0)
+    sink.write(bytes(meta))
+    sink.write(sync)
+    for batch in batches:
+        d = batch.to_pydict()
+        names = list(d.keys())
+        rows = [dict(zip(names, vals)) for vals in zip(*d.values())] \
+            if names else []
+        for start in range(0, max(len(rows), 1), block_rows):
+            chunk = rows[start : start + block_rows]
+            if not chunk:
+                continue
+            body = bytearray()
+            for row in chunk:
+                for f in savro["fields"]:
+                    _encode_value(body, f["type"], row[f["name"]])
+            payload = _compress(codec, bytes(body))
+            blk = bytearray()
+            write_long(blk, len(chunk))
+            write_long(blk, len(payload))
+            sink.write(bytes(blk))
+            sink.write(payload)
+            sink.write(sync)
+    return sink.getvalue() if own else None
+
+
+class AvroFile:
+    """Parsed OCF handle."""
+
+    def __init__(self, source):
+        buf = source.read() if hasattr(source, "read") else source
+        if isinstance(buf, str):
+            buf = open(buf, "rb").read()
+        if buf[:4] != MAGIC:
+            raise st.ArrowTpuError("not an avro OCF (bad magic)")
+        pos = 4
+        self.metadata: Dict[str, bytes] = {}
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = read_bytes(buf, pos)
+                v, pos = read_bytes(buf, pos)
+                self.metadata[k.decode()] = v
+        self.sync = bytes(buf[pos : pos + 16])
+        pos += 16
+        self.buf = buf
+        self._blocks_start = pos
+        self.writer_schema = json.loads(self.metadata["avro.schema"])
+        self.codec = self.metadata.get("avro.codec", b"null").decode()
+        self.schema = avro_schema_to_arrow(self.writer_schema)
+
+    def iter_blocks(self):
+        buf = self.buf
+        pos = self._blocks_start
+        while pos < len(buf):
+            count, pos = read_long(buf, pos)
+            size, pos = read_long(buf, pos)
+            payload = buf[pos : pos + size]
+            pos += size
+            if buf[pos : pos + 16] != self.sync:
+                raise st.ArrowTpuError("avro: bad sync marker (corrupt block)")
+            pos += 16
+            yield count, _decompress(self.codec, payload)
+
+    def read_rows(self, reader_schema: Optional[dict] = None) -> List[dict]:
+        rows = []
+        ws = self.writer_schema
+        for count, body in self.iter_blocks():
+            pos = 0
+            for _ in range(count):
+                row = {}
+                for f in ws["fields"]:
+                    row[f["name"]], pos = _decode_value(body, pos, f["type"])
+                if reader_schema is not None:
+                    row = resolve_record(ws, reader_schema, row)
+                rows.append(row)
+        return rows
+
+    def read(self, reader_schema: Optional[dict] = None) -> bt.RecordBatch:
+        schema = (avro_schema_to_arrow(reader_schema)
+                  if reader_schema is not None else self.schema)
+        rows = self.read_rows(reader_schema)
+        cols = []
+        for f in schema.fields:
+            vals = [r[f.name] for r in rows]
+            if st.decimal_limbs(f.dtype) is not None:
+                ok = np.array([v is not None for v in vals], bool)
+                cols.append(col.primitive(
+                    vals, f.dtype,
+                    validity=None if ok.all() else ok,
+                    length=len(vals)))
+            else:
+                cols.append(col.from_pylist(vals, f.dtype))
+        from ..interop.pyarrow_bridge import _equalize
+
+        return bt.RecordBatch(schema, _equalize(tuple(cols)))
+
+
+def read_avro(source, reader_schema: Optional[dict] = None) -> bt.RecordBatch:
+    return AvroFile(source).read(reader_schema)
+
+
+# ---------------------------------------------------------------------------
+# single-object + Confluent framings (reference lib.rs:57-67)
+# ---------------------------------------------------------------------------
+
+_CRC64_AVRO_POLY = 0xC15D213AA4D7A795
+
+
+def _crc64_table():
+    tbl = []
+    for i in range(256):
+        fp = i
+        for _ in range(8):
+            fp = (fp >> 1) ^ (_CRC64_AVRO_POLY & -(fp & 1))
+        tbl.append(fp)
+    return tbl
+
+
+_TBL = _crc64_table()
+
+
+def rabin_fingerprint(schema_json: str) -> int:
+    """CRC-64-AVRO schema fingerprint (avro spec)."""
+    fp = _CRC64_AVRO_POLY  # spec: fingerprint starts at EMPTY
+    for b in _parsing_canonical_form(schema_json).encode():
+        fp = (fp >> 8) ^ _TBL[(fp ^ b) & 0xFF]
+    return fp
+
+
+def _parsing_canonical_form(schema_json: str) -> str:
+    """Minimal canonical form: strip non-essential attributes, order
+    keys name/type/fields/symbols/items/values/size (avro spec PCF)."""
+    keep = ("name", "type", "fields", "symbols", "items", "values", "size")
+
+    def canon(s):
+        if isinstance(s, list):
+            return [canon(x) for x in s]
+        if isinstance(s, dict):
+            if "logicalType" in s and s.get("type") in (
+                    "int", "long", "bytes", "string", "fixed"):
+                if s.get("type") != "fixed":
+                    return canon(s["type"])
+            return {k: canon(s[k]) for k in keep if k in s}
+        return s
+
+    return json.dumps(canon(json.loads(schema_json)),
+                      separators=(",", ":"))
+
+
+def encode_single_object(row: dict, schema_json: str) -> bytes:
+    s = json.loads(schema_json)
+    out = bytearray(SINGLE_OBJECT_MAGIC)
+    out.extend(struct.pack("<Q", rabin_fingerprint(schema_json)))
+    for f in s["fields"]:
+        _encode_value(out, f["type"], row[f["name"]])
+    return bytes(out)
+
+
+def decode_single_object(buf: bytes, schema_json: str) -> dict:
+    if buf[:2] != SINGLE_OBJECT_MAGIC:
+        raise st.ArrowTpuError("avro: bad single-object magic")
+    (fp,) = struct.unpack_from("<Q", buf, 2)
+    if fp != rabin_fingerprint(schema_json):
+        raise st.ArrowTpuError("avro: schema fingerprint mismatch")
+    s = json.loads(schema_json)
+    pos = 10
+    row = {}
+    for f in s["fields"]:
+        row[f["name"]], pos = _decode_value(buf, pos, f["type"])
+    return row
+
+
+def encode_confluent(row: dict, schema_json: str, schema_id: int) -> bytes:
+    s = json.loads(schema_json)
+    out = bytearray(b"\x00")
+    out.extend(struct.pack(">I", schema_id))
+    for f in s["fields"]:
+        _encode_value(out, f["type"], row[f["name"]])
+    return bytes(out)
+
+
+def decode_confluent(buf: bytes, schema_json: str) -> Tuple[int, dict]:
+    if buf[0] != 0:
+        raise st.ArrowTpuError("avro: bad confluent magic")
+    (sid,) = struct.unpack_from(">I", buf, 1)
+    s = json.loads(schema_json)
+    pos = 5
+    row = {}
+    for f in s["fields"]:
+        row[f["name"]], pos = _decode_value(buf, pos, f["type"])
+    return sid, row

@@ -438,6 +438,41 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
             raise st.ArrowTpuError("parquet: nulls in a non-nullable field")
         def_block = b""
 
+    # page splitting: rows per data page (reference properties.rs
+    # data_page_row_count_limit + column writer page boundaries); each
+    # page gets its own def-level block, payload slice, first-row index
+    # and min/max statistics (feeding the column/offset page indexes that
+    # parquet_scan.py prunes with)
+    page_limit = max(1, int(props.data_page_row_limit))
+    row_slices = [(r0, min(r0 + page_limit, n))
+                  for r0 in range(0, n, page_limit)] or [(0, 0)]
+    nn_cum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    page_stats = []
+
+    def _def_block(r0, r1):
+        if not nullable:
+            return b""
+        dl = rle_encode(valid[r0:r1].astype(np.int64), 1)
+        return struct.pack("<i", len(dl)) + dl
+
+    def _pstats(pv, r0, r1):
+        """(null_page, min, max, null_count) for one page's dense values."""
+        nulls = int((r1 - r0) - (nn_cum[r1] - nn_cum[r0]))
+        if len(pv) == 0:
+            return {"null_page": True, "min": b"", "max": b"",
+                    "null_count": nulls}
+        if phys == P_BYTES:
+            mn, mx = min(pv), max(pv)
+            return {"null_page": False, "min": bytes(mn), "max": bytes(mx),
+                    "null_count": nulls}
+        if phys in (P_I32, P_I64, P_FLOAT, P_DOUBLE):
+            return {"null_page": False,
+                    "min": _stats_bytes(pv.min(), phys),
+                    "max": _stats_bytes(pv.max(), phys),
+                    "null_count": nulls}
+        return {"null_page": False, "min": b"", "max": b"",
+                "null_count": nulls}
+
     # explicit encoding override (reference properties.rs set_column_encoding)
     override = (props.column_encoding or {}).get(field_name)
     if override:
@@ -478,19 +513,30 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
         dict_payload = b"".join(struct.pack("<i", len(u)) + u for u in uniq)
         if len(dict_payload) <= props.dictionary_page_size_limit:
             bw = max(1, int(np.ceil(np.log2(max(len(uniq), 2)))))
-            body = bytes([bw]) + rle_encode(codes, bw)
             pages.append(("dict", dict_payload, len(uniq)))
-            pages.append(("data", def_block + body, n, E_RLE_DICT))
+            for r0, r1 in row_slices:
+                pcodes = codes[nn_cum[r0]: nn_cum[r1]]
+                body = bytes([bw]) + rle_encode(pcodes, bw)
+                pages.append(("data", _def_block(r0, r1) + body,
+                              r1 - r0, E_RLE_DICT, r0))
+                page_stats.append(_pstats([uniq[k] for k in pcodes], r0, r1))
             encodings += [E_RLE_DICT, E_PLAIN]
         else:
             use_dict = False
     if not use_dict and not override:
-        if phys == P_BYTES:
-            starts, lens, data = vals
-            payload = _bytes_plain(starts, lens, data)
-        else:
-            payload = _plain_encode(vals, phys)
-        pages.append(("data", def_block + payload, n, E_PLAIN))
+        for r0, r1 in row_slices:
+            v0, v1 = int(nn_cum[r0]), int(nn_cum[r1])
+            if phys == P_BYTES:
+                starts, lens, data = vals
+                payload = _bytes_plain(starts[v0:v1], lens[v0:v1], data)
+                pv = [data[s: s + l].tobytes()
+                      for s, l in zip(starts[v0:v1], lens[v0:v1])]
+            else:
+                pv = vals[v0:v1]
+                payload = _plain_encode(pv, phys)
+            pages.append(("data", _def_block(r0, r1) + payload,
+                          r1 - r0, E_PLAIN, r0))
+            page_stats.append(_pstats(pv, r0, r1))
         encodings.append(E_PLAIN)
 
     start_offset = out.tell()
@@ -509,12 +555,14 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
             total_uncomp += len(hdr) + len(payload)
             total_comp += len(hdr) + len(comp)
         else:
-            _, payload, nvals, enc = page
+            _, payload, nvals, enc = page[:4]
+            first_row = page[4] if len(page) > 4 else 0
             comp = _compress(codec, payload)
             hdr = _page_header_data(len(payload), len(comp), nvals, enc)
             if data_page_offset is None:
                 data_page_offset = out.tell()
-            page_locations.append((out.tell(), len(hdr) + len(comp), 0))
+            page_locations.append((out.tell(), len(hdr) + len(comp),
+                                   first_row))
             out.write(hdr + comp)
             total_uncomp += len(hdr) + len(payload)
             total_comp += len(hdr) + len(comp)
@@ -529,6 +577,7 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     return {
         "bloom_hashes": bloom_hashes,
         "page_locations": page_locations,
+        "page_stats": page_stats,
         "num_nulls": num_nulls,
         "type": phys,
         "encodings": encodings,
@@ -696,7 +745,7 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
 
         for rg in row_groups:
             for m in rg["columns"]:
-                pages = [{
+                pages = m.get("page_stats") or [{
                     "null_page": m["num_values"] == m["num_nulls"],
                     "min": _stats_bytes(m["statistics"][0], m["type"])
                     if m["statistics"] and m["statistics"][0] is not None else b"",

@@ -86,3 +86,5 @@ from . import merge as mergemod
 from .merge import merge_batches, merge_indices, merge_n
 from . import join as joinmod
 from .join import JoinInfo, hash_join
+
+from .equal import equal_batches, equal_columns  # noqa: E402,F401

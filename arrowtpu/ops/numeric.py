@@ -147,18 +147,34 @@ def _safe_rem_narrow(x, y):
     return x - jnp.trunc(x / y) * y
 
 
+def _const_divisor(b):
+    """Python-int scalar divisor usable by the multiply-high fast path."""
+    if isinstance(b, (int, np.integer)) and not isinstance(b, bool) \
+            and int(b) != 0:
+        return int(b)
+    return None
+
+
 def div(a, b):
+    d = _const_divisor(b)
     av, bv, validity, length, out_dtype, kind = _operands(a, b)
     if kind is None:
         out = _safe_div_narrow(av, bv)
         return _emit(out, validity, length, st.from_jnp(out.dtype))
     if kind == "f64":
         return _emit(_f64_binary(av, bv, jnp.divide), validity, length, out_dtype)
-    q, _ = wd.divmod_signed(av, bv) if kind == "i64" else wd.divmod_unsigned(av, bv)
+    if d is not None:
+        # constant-divisor strength reduction: multiply-high, not the
+        # 64-round shift/subtract loop (64x fewer HBM passes)
+        q, _ = (wd.divmod_signed_const(av, d) if kind == "i64"
+                else wd.divmod_unsigned_const(av, d))
+    else:
+        q, _ = wd.divmod_signed(av, bv) if kind == "i64" else wd.divmod_unsigned(av, bv)
     return _emit(q, validity, length, out_dtype)
 
 
 def rem(a, b):
+    d = _const_divisor(b)
     av, bv, validity, length, out_dtype, kind = _operands(a, b)
     if kind is None:
         out = _safe_rem_narrow(av, bv)
@@ -168,7 +184,11 @@ def rem(a, b):
             _f64_binary(av, bv, lambda x, y: x - jnp.trunc(x / y) * y),
             validity, length, out_dtype,
         )
-    _, r = wd.divmod_signed(av, bv) if kind == "i64" else wd.divmod_unsigned(av, bv)
+    if d is not None:
+        _, r = (wd.divmod_signed_const(av, d) if kind == "i64"
+                else wd.divmod_unsigned_const(av, d))
+    else:
+        _, r = wd.divmod_signed(av, bv) if kind == "i64" else wd.divmod_unsigned(av, bv)
     return _emit(r, validity, length, out_dtype)
 
 

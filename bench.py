@@ -95,13 +95,19 @@ def loop_time(step, x, k_lo=4, k_hi=None, reps=5, target_s=0.05):
 
 
 def measure_roofline_gbs():
-    """Empirical HBM bandwidth: large elementwise pass (read+write)."""
+    """Empirical HBM bandwidth: large elementwise pass (read+write).
+
+    Median of 3 adaptive measurements — single short measurements through
+    the tunnel have produced 109..1271 GB/s for the same device; the
+    fraction denominators need a stable number."""
     import jax.numpy as jnp
 
     n = 128 * 1024 * 1024  # 512 MB read + 512 MB write
     x = jnp.arange(n, dtype=jnp.int32)
-    dt = loop_time(lambda v: v + 1, x, k_lo=2, k_hi=8, reps=3)
-    return (n * 4 * 2) / dt / 1e9
+    samples = sorted(
+        loop_time(lambda v: v + 1, x, k_lo=2, reps=5, target_s=0.1)
+        for _ in range(3))
+    return (n * 4 * 2) / samples[1] / 1e9
 
 
 def _int64_col(rng, n, lo, hi, null_density):
@@ -323,12 +329,23 @@ def config4_hash_agg(n=8_000_000):
                 b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
 
         def step(b):
+            import jax.numpy as jnp
+
             res = agg(b)
             v = b["v"]
-            # counts are < 2^30 at runtime so the bump is 0; a shift of
-            # the aggregation output cannot be folded (anti-DCE carry)
-            bump = (res["count_v"].values[0, 0] >> 30).astype(
-                v.values.dtype)
+            # anti-DCE/anti-LICM carry: fold VALUE-dependent outputs (sum
+            # and min limbs) back into v, so no aggregation is loop
+            # invariant (round-3 fix: a count-only carry let XLA hoist
+            # the whole body — counts depend only on the unchanged keys).
+            # |sum| < 2^33 and |min| < 2^33, so ~hi(limb) >> 8 is 0 at
+            # runtime but unprovable at compile time.
+            def habs(limbs0):
+                hi = limbs0[1]
+                neg = (hi >> 31) != 0
+                return jnp.where(neg, ~hi, hi) >> 8
+
+            bump = (habs(res["sum_v"].values[0])
+                    | habs(res["min_v"].values[0])).astype(jnp.uint32)
             v2 = dcl.replace(v, values=v.values + bump)
             cols = tuple(v2 if c is v else c for c in b.columns)
             return RecordBatch(b.schema, cols)

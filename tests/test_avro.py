@@ -1,0 +1,196 @@
+"""Avro OCF / single-object / Confluent framing tests (reference
+arrow-avro/src/: lib.rs:57-67 framings, reader/record.rs resolution).
+No avro library exists in this environment, so correctness rests on
+(a) spec golden bytes for the binary primitives and (b) full round
+trips through our own writer/reader across types, codecs and schema
+resolution."""
+
+import json
+
+import numpy as np
+import pytest
+
+import arrowtpu as at
+from arrowtpu import schema as st
+from arrowtpu.formats import avro
+
+
+# ---------------------------------------------------------------------------
+# golden bytes from the Avro specification
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_varint_golden():
+    # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+             -64: b"\x7f", 64: b"\x80\x01", 8192: b"\x80\x80\x01"}
+    for v, want in cases.items():
+        out = bytearray()
+        avro.write_long(out, v)
+        assert bytes(out) == want, v
+        got, pos = avro.read_long(out, 0)
+        assert got == v and pos == len(want)
+
+
+def test_long_extremes():
+    for v in (2**63 - 1, -2**63, 2**31, -2**31 - 1):
+        out = bytearray()
+        avro.write_long(out, v)
+        got, _ = avro.read_long(out, 0)
+        assert got == v
+
+
+def test_string_encoding_golden():
+    out = bytearray()
+    avro._encode_value(out, "string", "foo")
+    assert bytes(out) == b"\x06foo"
+
+
+# ---------------------------------------------------------------------------
+# OCF round trips
+# ---------------------------------------------------------------------------
+
+
+def _mixed_batch(n=500):
+    rng = np.random.default_rng(11)
+    ints = [int(v) if v % 5 else None for v in rng.integers(-10**12, 10**12, n)]
+    strs = [None if i % 7 == 0 else f"s{i}" for i in range(n)]
+    dbls = [None if i % 11 == 0 else float(v)
+            for i, v in enumerate(rng.standard_normal(n))]
+    bools = [bool(v) for v in rng.integers(0, 2, n)]
+    return at.record_batch({
+        "i": at.from_pylist(ints, st.int64),
+        "s": at.from_pylist(strs, st.utf8),
+        "d": at.from_pylist(dbls, st.float64),
+        "b": at.from_pylist(bools, st.boolean),
+    }), {"i": ints, "s": strs, "d": dbls, "b": bools}
+
+
+@pytest.mark.parametrize("codec", avro.supported_codecs())
+def test_ocf_roundtrip_codecs(codec):
+    batch, want = _mixed_batch()
+    buf = avro.write_avro(batch, codec=codec)
+    f = avro.AvroFile(buf)
+    assert f.codec == codec
+    out = f.read()
+    got = out.to_pydict()
+    assert got["i"] == want["i"]
+    assert got["s"] == want["s"]
+    assert got["b"] == want["b"]
+    assert all((a is None) == (b is None) and (a is None or a == b)
+               for a, b in zip(got["d"], want["d"]))
+
+
+def test_ocf_multiple_blocks():
+    batch, want = _mixed_batch(1000)
+    buf = avro.write_avro(batch, block_rows=100)
+    f = avro.AvroFile(buf)
+    assert sum(c for c, _ in f.iter_blocks()) == 1000
+    assert f.read().to_pydict()["i"] == want["i"]
+
+
+def test_ocf_lists_and_int32():
+    batch = at.record_batch({
+        "l": at.from_pylist([[1, 2], [], None, [3, 4, 5]], st.List(st.int64)),
+        "x": at.from_pylist([1, None, 3, 4], st.int32),
+    })
+    buf = avro.write_avro(batch)
+    got = avro.read_avro(buf).to_pydict()
+    assert got["l"] == [[1, 2], [], None, [3, 4, 5]]
+    assert got["x"] == [1, None, 3, 4]
+
+
+def test_ocf_temporal_and_decimal():
+    import decimal
+
+    batch = at.record_batch({
+        "ts": at.from_pylist([1692576000000000, None], st.Timestamp("us")),
+        "dec": at.from_pylist(
+            [decimal.Decimal("12.34"), decimal.Decimal("-0.07")],
+            st.Decimal128(10, 2)),
+    })
+    buf = avro.write_avro(batch)
+    got = avro.read_avro(buf).to_pydict()
+    assert got["ts"] == [1692576000000000, None]
+    assert got["dec"] == [decimal.Decimal("12.34"), decimal.Decimal("-0.07")]
+
+
+def test_corrupt_sync_detected():
+    batch, _ = _mixed_batch(50)
+    buf = bytearray(avro.write_avro(batch))
+    buf[-1] ^= 0xFF  # flip a sync byte
+    with pytest.raises(st.ArrowTpuError):
+        avro.AvroFile(bytes(buf)).read()
+
+
+# ---------------------------------------------------------------------------
+# schema resolution
+# ---------------------------------------------------------------------------
+
+
+def test_resolution_promotion_and_defaults():
+    batch = at.record_batch({
+        "x": at.from_pylist([1, 2, 3], st.int32),
+        "y": at.from_pylist(["a", "b", "c"], st.utf8),
+    })
+    buf = avro.write_avro(batch)
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "x", "type": "double"},          # int -> double
+            {"name": "z", "type": "long", "default": 7},  # missing, default
+        ],
+    }
+    out = avro.read_avro(buf, reader_schema=reader)
+    got = out.to_pydict()
+    assert got["x"] == [1.0, 2.0, 3.0]
+    assert got["z"] == [7, 7, 7]
+
+
+def test_resolution_rejects_bad_promotion():
+    batch = at.record_batch({"x": at.from_pylist(["a"], st.utf8)})
+    buf = avro.write_avro(batch)
+    reader = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    with pytest.raises(st.SchemaError):
+        avro.read_avro(buf, reader_schema=reader)
+
+
+# ---------------------------------------------------------------------------
+# single-object + Confluent framings
+# ---------------------------------------------------------------------------
+
+
+def test_single_object_roundtrip():
+    sjson = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    row = {"a": 42, "b": "hi"}
+    enc = avro.encode_single_object(row, sjson)
+    assert enc[:2] == b"\xc3\x01"
+    assert avro.decode_single_object(enc, sjson) == row
+
+
+def test_single_object_fingerprint_mismatch():
+    s1 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}]})
+    s2 = json.dumps({"type": "record", "name": "q", "fields": [
+        {"name": "a", "type": "long"}]})
+    enc = avro.encode_single_object({"a": 1}, s1)
+    with pytest.raises(st.ArrowTpuError):
+        avro.decode_single_object(enc, s2)
+
+
+def test_rabin_fingerprint_golden():
+    # avro spec: fingerprint of the canonical form of "int" primitive...
+    # golden from the spec's reference implementation for '"int"':
+    # well-known value 0x7275d51a3f395c8f is for "int" PCF
+    fp = avro.rabin_fingerprint(json.dumps("int"))
+    assert fp == 0x7275D51A3F395C8F
+
+
+def test_confluent_roundtrip():
+    sjson = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}]})
+    enc = avro.encode_confluent({"k": "v"}, sjson, schema_id=123)
+    sid, row = avro.decode_confluent(enc, sjson)
+    assert sid == 123 and row == {"k": "v"}

@@ -1,0 +1,164 @@
+"""Device-side logical equality (ops/equal.py; reference
+arrow-data/src/equal/mod.rs:168): physical layout differences must not
+affect equality, and all comparisons run as one traced pass (usable
+under jit — the CPU-vs-TPU bit-exactness harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import arrowtpu as at
+from arrowtpu import ops, schema as st
+from arrowtpu.core import column as cc
+from arrowtpu.ops.equal import equal_batches, equal_columns
+
+
+def _eq(a, b):
+    return bool(jax.jit(equal_columns)(a, b))
+
+
+def test_primitive_equal_and_not(rng):
+    vals = rng.integers(-100, 100, 1000)
+    a = at.primitive(vals, at.schema.int64, length=1000)
+    b = at.primitive(vals.copy(), at.schema.int64, length=1000)
+    assert _eq(a, b)
+    vals2 = vals.copy()
+    vals2[500] += 1
+    c = at.primitive(vals2, at.schema.int64, length=1000)
+    assert not _eq(a, c)
+
+
+def test_capacity_and_padding_ignored(rng):
+    vals = rng.integers(0, 10, 100)
+    a = at.primitive(vals, at.schema.int32, length=100)
+    b = at.primitive(vals, at.schema.int32, length=100, capacity=1024)
+    assert _eq(a, b)
+
+
+def test_validity_respected(rng):
+    vals = rng.integers(0, 10, 64)
+    ok = rng.random(64) > 0.3
+    a = at.primitive(np.where(ok, vals, 0), at.schema.int64,
+                     validity=at.bitmap.from_numpy_bools(ok), length=64)
+    b = at.primitive(np.where(ok, vals, 0), at.schema.int64,
+                     validity=at.bitmap.from_numpy_bools(ok), length=64)
+    assert _eq(a, b)
+    ok2 = ok.copy()
+    ok2[np.argmax(ok)] = False
+    c = at.primitive(np.where(ok2, vals, 0), at.schema.int64,
+                     validity=at.bitmap.from_numpy_bools(ok2), length=64)
+    assert not _eq(a, c)
+
+
+def test_values_under_nulls_ignored(rng):
+    ok = np.array([True, False] * 32)
+    a = at.primitive(np.arange(64), at.schema.int64,
+                     validity=at.bitmap.from_numpy_bools(ok), length=64)
+    garbage = np.arange(64).copy()
+    garbage[1::2] = -999  # only null slots differ
+    garbage[1::2] = 0     # padding contract: null slots are zeroed anyway
+    b = at.primitive(garbage, at.schema.int64,
+                     validity=at.bitmap.from_numpy_bools(ok), length=64)
+    assert _eq(a, b)
+
+
+def test_dtype_mismatch():
+    a = at.primitive(np.arange(4, dtype=np.int32), at.schema.int32, length=4)
+    b = at.primitive(np.arange(4), at.schema.int64, length=4)
+    assert not _eq(a, b)
+
+
+def test_length_mismatch(rng):
+    vals = rng.integers(0, 10, 100)
+    a = at.primitive(vals, at.schema.int32, length=100)
+    b = at.primitive(vals, at.schema.int32, length=99)
+    assert not _eq(a, b)
+
+
+def test_strings_different_arenas():
+    a = cc.string_view(["hello", "world", "xyz"])
+    # same logical strings, different arena layout (extra interned junk)
+    b_src = cc.string_view(["junkjunk", "hello", "world", "xyz"])
+    from arrowtpu.ops.coalesce import slice_
+
+    b = slice_(b_src, 1, 3)
+    assert _eq(a, b)
+    c = cc.string_view(["hello", "world", "xy"])
+    assert not _eq(a, c)
+
+
+def test_boolean_and_float_total_bits(rng):
+    bools = rng.random(256) < 0.5
+    a = cc.boolean(bools)
+    b = cc.boolean(bools.copy())
+    assert _eq(a, b)
+    f = rng.standard_normal(128)
+    fa = at.primitive(f, at.schema.float64, length=128)
+    fb = at.primitive(f.copy(), at.schema.float64, length=128)
+    assert _eq(fa, fb)
+    f2 = f.copy()
+    f2[7] = np.nextafter(f2[7], np.inf)
+    fc = at.primitive(f2, at.schema.float64, length=128)
+    assert not _eq(fa, fc)
+
+
+def test_dictionary_decoded_comparison():
+    keys = np.array([0, 1, 0, 2], np.int32)
+    vals = cc.string_view(["a", "b", "c"])
+    d = cc.DictionaryColumn(
+        at.primitive(keys, at.schema.int32, length=4), vals,
+        jnp.arange(vals.capacity, dtype=jnp.int32),
+        st.Dictionary(st.int32, st.utf8))
+    # same logical values, different key space order
+    keys2 = np.array([2, 0, 2, 1], np.int32)
+    vals2 = cc.string_view(["b", "c", "a"])
+    d2 = cc.DictionaryColumn(
+        at.primitive(keys2, at.schema.int32, length=4), vals2,
+        jnp.arange(vals2.capacity, dtype=jnp.int32),
+        st.Dictionary(st.int32, st.utf8))
+    assert _eq(d, d2)
+
+
+def test_struct_and_fsl(rng):
+    data = [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}, None]
+    a = at.from_pylist(data, st.Struct((st.Field("x", st.int64),
+                                        st.Field("y", st.utf8))))
+    b = at.from_pylist(list(data), st.Struct((st.Field("x", st.int64),
+                                              st.Field("y", st.utf8))))
+    assert _eq(a, b)
+    data2 = [{"x": 1, "y": "a"}, {"x": 2, "y": "B"}, None]
+    c = at.from_pylist(data2, st.Struct((st.Field("x", st.int64),
+                                         st.Field("y", st.utf8))))
+    assert not _eq(a, c)
+
+
+def test_lists(rng):
+    a = at.from_pylist([[1, 2], [], None, [3]], st.List(st.int64))
+    b = at.from_pylist([[1, 2], [], None, [3]], st.List(st.int64))
+    assert _eq(a, b)
+    c = at.from_pylist([[1, 2], [], None, [4]], st.List(st.int64))
+    assert not _eq(a, c)
+    d = at.from_pylist([[1, 2, 3], [], None, [3]], st.List(st.int64))
+    assert not _eq(a, d)
+
+
+def test_equal_batches(rng):
+    vals = rng.integers(0, 5, 50)
+    a = at.record_batch({"k": at.primitive(vals, at.schema.int64, length=50)})
+    b = at.record_batch({"k": at.primitive(vals, at.schema.int64, length=50)})
+    assert bool(equal_batches(a, b))
+    c = at.record_batch({"j": at.primitive(vals, at.schema.int64, length=50)})
+    assert not bool(equal_batches(a, c))
+
+
+def test_jit_traceable(rng):
+    """The whole comparison is one jittable program (no host detours)."""
+    vals = rng.integers(0, 100, 4096)
+    a = at.primitive(vals, at.schema.int64, length=4096)
+    b = at.primitive(vals.copy(), at.schema.int64, length=4096)
+
+    @jax.jit
+    def f(x, y):
+        return equal_columns(x, y)
+
+    assert bool(f(a, b))

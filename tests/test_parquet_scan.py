@@ -1,0 +1,186 @@
+"""Parquet scan pushdown: RowSelection algebra, predicate pushdown,
+statistics/bloom/page-index pruning, and decode metrics (reference
+parquet/src/arrow/arrow_reader/{selection/mod.rs,filter.rs,read_plan.rs,
+metrics.rs}).  The key assertions mirror the reference's
+ArrowReaderMetrics pattern: a selective scan must PROVABLY decode fewer
+pages / row groups than a full scan."""
+
+import io
+
+import numpy as np
+import pytest
+
+import arrowtpu as at
+from arrowtpu.formats import parquet as pq
+from arrowtpu.formats import parquet_scan as ps
+from arrowtpu.formats.parquet_scan import (ArrowPredicate, ColumnPredicate,
+                                           RowSelection, RowSelector,
+                                           ScanMetrics, scan_parquet)
+
+
+# ---------------------------------------------------------------------------
+# RowSelection algebra
+# ---------------------------------------------------------------------------
+
+
+def test_selection_from_mask_roundtrip(rng):
+    mask = rng.random(1000) < 0.3
+    sel = RowSelection.from_mask(mask)
+    assert np.array_equal(sel.to_mask(1000), mask)
+    assert sel.row_count() == mask.sum()
+    assert sel.total_rows() == 1000
+
+
+def test_selection_normalizes_adjacent_runs():
+    sel = RowSelection([RowSelector.select(3), RowSelector.select(2),
+                        RowSelector.skip_(0), RowSelector.skip_(4)])
+    assert sel.selectors == (RowSelector(5, False), RowSelector(4, True))
+
+
+def test_selection_and_then(rng):
+    outer_mask = rng.random(500) < 0.5
+    outer = RowSelection.from_mask(outer_mask)
+    inner_mask = rng.random(int(outer_mask.sum())) < 0.5
+    inner = RowSelection.from_mask(inner_mask)
+    combined = outer.and_then(inner)
+    want = np.zeros(500, bool)
+    want[np.nonzero(outer_mask)[0]] = inner_mask
+    assert np.array_equal(combined.to_mask(500), want)
+
+
+def test_selection_set_ops(rng):
+    a = rng.random(300) < 0.4
+    b = rng.random(300) < 0.4
+    sa, sb = RowSelection.from_mask(a), RowSelection.from_mask(b)
+    assert np.array_equal(sa.intersection(sb).to_mask(300), a & b)
+    assert np.array_equal(sa.union(sb).to_mask(300), a | b)
+
+
+def test_selection_split_off():
+    sel = RowSelection([RowSelector.select(10), RowSelector.skip_(5),
+                        RowSelector.select(7)])
+    head, tail = sel.split_off(12)
+    assert head.selectors == (RowSelector(10, False), RowSelector(2, True))
+    assert tail.selectors == (RowSelector(3, True), RowSelector(7, False))
+
+
+def test_selection_from_ranges():
+    sel = RowSelection.from_ranges([(2, 5), (9, 10)], 12)
+    m = np.zeros(12, bool)
+    m[2:5] = True
+    m[9] = True
+    assert np.array_equal(sel.to_mask(12), m)
+
+
+# ---------------------------------------------------------------------------
+# pushdown scans
+# ---------------------------------------------------------------------------
+
+
+def _write_file(n_rows=4000, n_groups=4, pages_per_group=4, with_bloom=False):
+    """Sorted int64 'a' (prunable by min/max) + payload column 'b'."""
+    rng = np.random.default_rng(5)
+    a = np.arange(n_rows, dtype=np.int64)
+    # b: wide unsorted range so min/max stats CANNOT prune equality probes
+    b = rng.integers(-10**6, 10**6, n_rows) * 2  # even values only
+    rows_per_group = n_rows // n_groups
+    props = pq.WriterProperties(
+        data_page_row_limit=rows_per_group // pages_per_group,
+        write_page_index=True,
+        dictionary_enabled=False,
+        bloom_filter_columns=("b",) if with_bloom else (),
+    )
+    batches = []
+    for g in range(n_groups):
+        sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
+        batches.append(at.record_batch({
+            "a": at.primitive(a[sl], at.schema.int64, length=len(a[sl])),
+            "b": at.primitive(b[sl], at.schema.int64, length=len(b[sl]))}))
+    buf = pq.write_parquet(batches, props=props,
+                           row_group_size=rows_per_group)
+    return buf, a, b
+
+
+def test_row_group_pruning_by_statistics():
+    buf, a, b = _write_file()
+    m = ScanMetrics()
+    out, m = scan_parquet(buf, predicates=[ColumnPredicate("a", "lt", 500)],
+                          metrics=m)
+    got = out.to_pydict()
+    assert got["a"] == list(range(500))
+    assert m.row_groups_pruned_statistics == 3      # only group 0 survives
+    assert m.rows_decoded < 4000
+
+
+def test_page_pruning_within_row_group():
+    buf, a, b = _write_file()
+    m = ScanMetrics()
+    out, m = scan_parquet(
+        buf, predicates=[ColumnPredicate("a", "eq", 1500)], metrics=m)
+    assert out.to_pydict()["a"] == [1500]
+    assert m.pages_skipped > 0                       # page index pruned pages
+    full = ScanMetrics()
+    scan_parquet(buf, metrics=full)
+    assert m.rows_decoded < full.rows_decoded
+
+
+def test_bloom_filter_pruning():
+    buf, a, b = _write_file(with_bloom=True)
+    m = ScanMetrics()
+    # an odd value inside b's [min, max]: stats cannot prune, bloom can
+    out, m = scan_parquet(
+        buf, predicates=[ColumnPredicate("b", "eq", 12345)], metrics=m)
+    assert int(out.length) == 0
+    assert m.row_groups_pruned_bloom_filter == 4
+
+
+def test_predicate_result_matches_full_scan(rng):
+    buf, a, b = _write_file()
+    out, m = scan_parquet(buf, predicates=[
+        ColumnPredicate("a", "gt_eq", 700),
+        ColumnPredicate("a", "lt", 2100),
+        ColumnPredicate("b", "gt", 0),
+    ])
+    got = out.to_pydict()
+    keep = (a >= 700) & (a < 2100) & (b > 0)
+    assert got["a"] == list(a[keep])
+    assert got["b"] == list(b[keep])
+
+
+def test_arrow_predicate_fn():
+    from arrowtpu import ops
+
+    buf, a, b = _write_file()
+    pred = ArrowPredicate(("a", "b"), lambda batch: ops.and_kleene(
+        ops.gt(batch["a"], 3900), ops.lt(batch["b"], 0)))
+    out, m = scan_parquet(buf, predicates=[pred])
+    keep = (a > 3900) & (b < 0)
+    assert out.to_pydict()["a"] == list(a[keep])
+    assert m.predicate_evaluations == 4  # once per row group
+
+
+def test_projection_with_predicates():
+    buf, a, b = _write_file()
+    out, m = scan_parquet(buf, columns=["b"],
+                          predicates=[ColumnPredicate("a", "lt", 10)])
+    assert out.to_pydict() == {"b": list(b[:10])}
+
+
+def test_empty_result_keeps_schema():
+    buf, a, b = _write_file()
+    out, m = scan_parquet(buf, predicates=[ColumnPredicate("a", "lt", -5)])
+    assert int(out.length) == 0
+    assert list(out.schema.names) == ["a", "b"]
+
+
+def test_selection_with_nulls(rng):
+    n = 1000
+    vals = [int(v) if v % 7 else None for v in range(n)]
+    batch = at.record_batch({"x": at.from_pylist(vals, at.schema.int64)})
+    props = pq.WriterProperties(data_page_row_limit=250,
+                                write_page_index=True,
+                                dictionary_enabled=False)
+    buf = pq.write_parquet([batch], props=props)
+    out, m = scan_parquet(buf, predicates=[ColumnPredicate("x", "lt", 100)])
+    want = [v for v in vals if v is not None and v < 100]
+    assert out.to_pydict()["x"] == want
