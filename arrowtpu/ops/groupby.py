@@ -4,25 +4,42 @@ The reference deliberately has no group-by (aggregates are whole-array,
 /root/reference/arrow-arith/src/aggregate.rs; grouped aggregation lives
 downstream in DataFusion).  BASELINE config 4 makes it first-class here.
 
-TPU-native design: group keys encode to order-preserving planes
-(rowformat.encode), rows sort by the planes (XLA's tuned sort), group
-boundaries come from adjacent-plane inequality — the reference's
-`partition` primitive (arrow-ord/src/partition.rs:127) applied to its own
-sort output — and the aggregates are segment reductions over the sorted
-values.  Null keys form their own group (SQL GROUP BY semantics); null
-values are skipped by every aggregate (arity contract).  Output has the
-input's capacity with traced group-count length.
+TPU-native design (round-3 rewrite #2, gather- and scatter-free): the
+three XLA primitives that are pathological on this TPU are avoided
+outright — scatter and associative_scan lower to sequential mega-fusions
+(two 466 ms fusions in the round-2 design), and EVERY 8M-element 1-D
+gather costs ~53 ms regardless of index pattern (measured; even iota
+indices).  The redesign:
 
-64-bit value columns aggregate exactly on their uint32 limb pairs via an
-inclusive *segmented scan* (associative_scan with a segment-reset
-combine): sums are exact wrapping 64-bit adds, min/max compare
-total-order planes — no 64-bit element types touch the device.
+  * group keys encode to order-preserving planes (rowformat.encode) and
+    rows sort by them with XLA's tuned sort (~29 ms / 8M rows on v5e);
+    every array the aggregation needs afterwards — validity, value limbs,
+    raw key planes — is CARRIED THROUGH THE SORT as a non-key operand,
+    so no permutation gathers exist.
+  * group boundaries come from adjacent-plane inequality (the
+    reference's `partition`, arrow-ord/src/partition.rs:127).
+  * per-group values are extracted by compacting per-row arrays with the
+    boundary / last-of-group masks through the Pallas streaming
+    compaction kernel (the filter kernel) — no gathers at group starts.
+  * COUNT and exact 64-bit / decimal SUM use prefix-sum differences:
+    values split into byte chunks, each chunk cumsum'd in u32 (chunk
+    segment sums stay < 2^31 for capacities <= 2^23, nibbles beyond),
+    shifted/compacted at the masks, then recombined into limbs with
+    carry arithmetic.
+  * MIN/MAX run a segmented suffix doubling sweep (log2(cap) rounds of
+    shift+compare+select, ~0.11 ms/round at 8M) on total-order planes.
+  * Float sums use a masked cumsum + boundary difference (documented:
+    prefix-difference rounding; exact on CPU, emulated-f64 bound on TPU).
+
+Null keys form their own group (SQL GROUP BY semantics); null values are
+skipped by every aggregate (arity contract).  Output has the input's
+capacity with traced group-count length.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,19 +51,117 @@ from ..core import bitmap as bm
 from ..core import column as col
 from ..core import wide as wd
 from ..rowformat import encode as rf
-from .take import take
 
 AGGS = ("sum", "count", "min", "max", "mean")
+
+U32 = jnp.uint32
 
 
 @dataclasses.dataclass
 class _Ctx:
-    idx: jax.Array  # sorted row order
-    seg_id_safe: jax.Array  # per sorted row; cap for padding
-    boundary: jax.Array  # per sorted row: starts a new group
-    live: jax.Array  # per sorted row: is a real row
+    boundary: jax.Array   # per sorted row: starts a new group
+    is_last: jax.Array    # per sorted row: ends its group
+    live: jax.Array
     cap: int
     num_groups: jax.Array
+
+
+def _compact_u32_planes(planes: List[jax.Array], mask, cap: int):
+    """Compact (cap,) u32 planes by a bool mask (group extraction).
+    Pallas kernel on TPU; unique-index scatter fallback elsewhere."""
+    from ..pallas import compact2 as pc2
+
+    stacked = jnp.stack([p.astype(U32) for p in planes])
+    if jax.default_backend() != "cpu" and pc2.supported(cap):
+        out = pc2.compact_planes(stacked, mask.astype(jnp.uint8))
+        return [out[i] for i in range(len(planes))]
+    pos = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
+    outs = []
+    for p in planes:
+        outs.append(jnp.zeros(cap, U32).at[pos].set(p.astype(U32),
+                                                    mode="drop"))
+    return outs
+
+
+def _at_starts(ctx: _Ctx, planes: List[jax.Array]) -> List[jax.Array]:
+    return _compact_u32_planes(planes, ctx.boundary, ctx.cap)
+
+
+def _at_last(ctx: _Ctx, planes: List[jax.Array]) -> List[jax.Array]:
+    return _compact_u32_planes(planes, ctx.is_last, ctx.cap)
+
+
+def _excl(prefix_incl):
+    """Inclusive -> exclusive prefix (shift down by one)."""
+    return jnp.concatenate(
+        [jnp.zeros(1, prefix_incl.dtype), prefix_incl[:-1]])
+
+
+# ---------------------------------------------------------------------------
+# carrying columns through the sort
+# ---------------------------------------------------------------------------
+
+
+def _column_operands(c: col.Column):
+    """Flatten a column's device data into 1-D sort operands + a rebuild
+    closure (sorted operand slices -> same-type column with new length)."""
+    cap = c.capacity
+    has_validity = c.validity is not None
+    ops: List[jax.Array] = []
+    if has_validity:
+        ops.append(c.valid_bool())
+
+    if isinstance(c, col.BooleanColumn):
+        ops.append(c.values_bool())
+
+        def rebuild(sl, new_len, new_validity):
+            return col.BooleanColumn(bm.pack(sl[-1] != 0), new_validity,
+                                     new_len)
+    elif isinstance(c, col.DictionaryColumn):
+        ops.append(c.keys.values.astype(jnp.int32))
+        values, ranks, dt = c.values, c.value_ranks, c.dtype
+
+        def rebuild(sl, new_len, new_validity):
+            kc = col.PrimitiveColumn(sl[-1].astype(jnp.int32), new_validity,
+                                     new_len, st.int32)
+            return col.DictionaryColumn(kc, values, ranks, dt)
+    elif isinstance(c, col.StringViewColumn):
+        for j in range(4):
+            ops.append(c.views[:, j])
+        arena, dt, lb_ = c.arena, c.dtype, c.len_bound
+
+        def rebuild(sl, new_len, new_validity):
+            views = jnp.stack(sl[-4:], axis=-1).astype(c.views.dtype)
+            return col.StringViewColumn(views, arena, new_validity, new_len,
+                                        dt, lb_)
+    elif isinstance(c, col.PrimitiveColumn) and c.values.ndim == 2:
+        nl = c.values.shape[1]
+        for j in range(nl):
+            ops.append(c.values[:, j])
+        dt = c.dtype
+
+        def rebuild(sl, new_len, new_validity, nl=nl):
+            vals = jnp.stack(sl[-nl:], axis=-1).astype(U32)
+            return col.PrimitiveColumn(vals, new_validity, new_len, dt)
+    elif isinstance(c, col.PrimitiveColumn):
+        ops.append(c.values)
+        dt = c.dtype
+
+        def rebuild(sl, new_len, new_validity):
+            return col.PrimitiveColumn(sl[-1].astype(c.values.dtype),
+                                       new_validity, new_len, dt)
+    else:
+        raise st.ComputeError(
+            f"group by: unsupported column {type(c).__name__}")
+
+    def rebuild_with_validity(sl, new_len):
+        if has_validity:
+            new_validity = bm.pack(sl[0] != 0)
+        else:
+            new_validity = None
+        return rebuild(sl, new_len, new_validity)
+
+    return ops, rebuild_with_validity
 
 
 def group_by(batch: bt.RecordBatch, keys: Sequence[str],
@@ -60,173 +175,251 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
     planes = rf.encode_columns(key_cols)
     pad = rf.padding_plane(cap, length)
     iota = jnp.arange(cap, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort([pad] + planes + [iota], dimension=0,
-                              is_stable=True, num_keys=1 + len(planes))
-    idx = sorted_ops[-1]
-    sorted_planes = sorted_ops[1 : 1 + len(planes)]
 
-    live = jnp.arange(cap, dtype=jnp.int32) < jnp.int32(length)  # sorted: live first
+    # payload operands: raw key columns (for output reconstruction) and
+    # every aggregated column's validity + values — all ride the sort
+    key_ops: List[jax.Array] = []
+    key_rebuilds = []
+    for c in key_cols:
+        ops, rb = _column_operands(c)
+        key_rebuilds.append((len(key_ops), len(ops), rb))
+        key_ops.extend(ops)
+    agg_names = sorted({name for name, _ in aggs})
+    agg_ops: List[jax.Array] = []
+    agg_slices = {}
+    for name in agg_names:
+        c = batch[name]
+        start = len(agg_ops)
+        agg_ops.append(c.valid_bool())
+        if isinstance(c, col.BooleanColumn):
+            agg_ops.append(c.values_bool().astype(jnp.int32))
+        elif isinstance(c, col.PrimitiveColumn) and c.values.ndim == 2:
+            for j in range(c.values.shape[1]):
+                agg_ops.append(c.values[:, j])
+        elif isinstance(c, col.PrimitiveColumn):
+            agg_ops.append(c.values)
+        else:
+            raise st.ComputeError(
+                f"aggregate on {type(c).__name__} unsupported")
+        agg_slices[name] = (start, len(agg_ops))
+
+    operands = [pad] + planes + [iota] + key_ops + agg_ops
+    sorted_ops = jax.lax.sort(operands, dimension=0, is_stable=True,
+                              num_keys=1 + len(planes))
+    sorted_planes = sorted_ops[1 : 1 + len(planes)]
+    base = 2 + len(planes)
+    sorted_keys = sorted_ops[base : base + len(key_ops)]
+    sorted_aggs = sorted_ops[base + len(key_ops):]
+
+    live = iota < jnp.int32(length)  # sorted: live rows first
     boundary = jnp.zeros(cap, dtype=jnp.bool_)
     for p in sorted_planes:
-        boundary = boundary | jnp.concatenate([jnp.array([True]), p[1:] != p[:-1]])
+        boundary = boundary | jnp.concatenate(
+            [jnp.array([True]), p[1:] != p[:-1]])
     boundary = boundary & live
-    seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    num_groups = jnp.where(jnp.int32(length) > 0, seg_id[-1] + 1, 0)
-    seg_id_safe = jnp.where(live, seg_id, cap)  # padding -> dropped segment
+    n_live = jnp.int32(length)
+    num_groups = jnp.sum(boundary.astype(jnp.int32))
+    next_b = jnp.concatenate([boundary[1:], jnp.array([True])])
+    is_last = (next_b | (iota == n_live - 1)) & live
 
-    ctx = _Ctx(idx, seg_id_safe, boundary, live, cap, num_groups)
-
-    # representative source row per group (first row of each segment)
-    first_pos = jnp.where(boundary, seg_id, cap)
-    group_row = jnp.zeros(cap, dtype=jnp.int32).at[first_pos].set(idx, mode="drop")
-    group_row_col = col.PrimitiveColumn(group_row, None, num_groups, st.int32)
+    ctx = _Ctx(boundary, is_last, live, cap, num_groups)
 
     out_fields = []
     out_cols = []
-    for k, c in zip(keys, key_cols):
-        out_fields.append(st.Field(k, c.dtype))
-        out_cols.append(take(c, group_row_col))
+    # output key columns: compact the carried raw key operands by the
+    # boundary mask (one multi-plane kernel pass)
+    if key_ops:
+        key_starts = _at_starts(ctx, list(sorted_keys))
+        for (off, nops, rb), k, c in zip(key_rebuilds, keys, key_cols):
+            out_fields.append(st.Field(k, c.dtype))
+            out_cols.append(rb(key_starts[off : off + nops], num_groups))
 
     for name, agg in aggs:
         if agg not in AGGS:
             raise st.ComputeError(f"unknown aggregate {agg!r}")
-        agg_col = _segment_agg(batch[name], ctx, agg)
+        a, b = agg_slices[name]
+        ok_sorted = (sorted_aggs[a] != 0) & live
+        val_ops = sorted_aggs[a + 1 : b]
+        agg_col = _segment_agg(batch[name], ctx, agg, ok_sorted, val_ops)
         out_fields.append(st.Field(f"{agg}_{name}", agg_col.dtype))
         out_cols.append(agg_col)
 
     return bt.RecordBatch(st.Schema(tuple(out_fields)), tuple(out_cols))
 
 
-def _segmented_scan_to_groups(ctx: _Ctx, sorted_vals, combine, is_limb: bool):
-    """Inclusive segmented scan over sorted rows, then gather each
-    segment's final (= aggregated) value into its group slot."""
-
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        f = fa | fb
-        sel = fb[..., None] if is_limb else fb
-        return f, jnp.where(sel, vb, combine(va, vb))
-
-    _, scanned = jax.lax.associative_scan(op, (ctx.boundary, sorted_vals), axis=0)
-    pos_ids = jnp.arange(ctx.cap, dtype=jnp.int32)
-    n_live = jnp.sum(ctx.live.astype(jnp.int32))
-    is_last = (
-        jnp.concatenate([ctx.boundary[1:], jnp.array([True])])
-        | (pos_ids == n_live - 1)  # final live row ends the last segment
-    ) & ctx.live
-    pos = jnp.where(is_last, ctx.seg_id_safe, ctx.cap)
-    out_shape = (ctx.cap,) + sorted_vals.shape[1:]
-    out = jnp.zeros(out_shape, scanned.dtype).at[pos].set(scanned, mode="drop")
-    return out
+# ---------------------------------------------------------------------------
+# prefix-difference machinery (gather-free segment reductions)
+# ---------------------------------------------------------------------------
 
 
-def _segment_agg(c: col.Column, ctx: _Ctx, agg: str) -> col.Column:
-    cap, num_groups = ctx.cap, ctx.num_groups
+def _chunk_bits(cap: int) -> int:
+    """Chunk width so a segment's chunk sum fits u32: cap*(2^w-1) < 2^32."""
+    for w in (8, 4, 2, 1):
+        if cap * ((1 << w) - 1) < (1 << 32):
+            return w
+    raise st.ComputeError(f"groupby: capacity {cap} too large for chunk sums")
+
+
+def _group_sums_of(prefixes: List[jax.Array], ctx: _Ctx) -> List[jax.Array]:
+    """For each inclusive prefix array: per-group sums via (incl at group
+    last) - (excl at group start), extracted with two multi-plane
+    compactions."""
+    tops = _at_last(ctx, prefixes)
+    bots = _at_starts(ctx, [_excl(p) for p in prefixes])
+    return [t - b for t, b in zip(tops, bots)]
+
+
+def _segment_sum_planes(val_planes: List[jax.Array], ok, ctx: _Ctx):
+    """Exact per-group sums of u32 limb planes (LSB plane first) as
+    (cap, nl) limbs (mod 2^(32*nl)): chunk cumsums + prefix diffs +
+    carry recombination."""
+    from ..core import limbs as lb
+
+    nl = len(val_planes)
+    w = _chunk_bits(ctx.cap)
+    mask = (1 << w) - 1
+    prefixes = []
+    for plane in val_planes:
+        masked = jnp.where(ok, plane.astype(U32), U32(0))
+        for k in range(32 // w):
+            ch = (masked >> (w * k)) & U32(mask)
+            prefixes.append(jnp.cumsum(ch, dtype=U32))
+    sums = _group_sums_of(prefixes, ctx)
+    acc = jnp.zeros(ctx.boundary.shape + (nl,), U32)
+    i = 0
+    for limb in range(nl):
+        for k in range(32 // w):
+            s = sums[i]
+            i += 1
+            bits = 32 * limb + w * k
+            word, sh = bits // 32, bits % 32
+            contrib = jnp.zeros_like(acc)
+            contrib = contrib.at[:, word].set(s << sh)
+            if sh > 0 and word + 1 < nl:
+                contrib = contrib.at[:, word + 1].set(s >> (32 - sh))
+            acc = lb.add(acc, contrib)
+    return acc
+
+
+def _segment_minmax_planes(planes, ok, ctx: _Ctx, is_min: bool):
+    """Per-group lexicographic min/max of u32 planes (most significant
+    first) via a segmented suffix doubling sweep + boundary compaction."""
+    ident = U32(0xFFFFFFFF) if is_min else U32(0)
+    cur = [jnp.where(ok, p.astype(U32), ident) for p in planes]
+    seg = jnp.cumsum(ctx.boundary.astype(jnp.int32)) - 1
+    seg = jnp.where(ctx.live, seg, -1)
+    cap = ctx.cap
+    s = 1
+    while s < cap:
+        seg2 = jnp.concatenate([seg[s:], jnp.full(s, -2, seg.dtype)])
+        shifted = [jnp.concatenate([p[s:], jnp.full(s, ident, U32)])
+                   for p in cur]
+        same = seg2 == seg
+        lt = jnp.zeros(cap, bool)
+        eqs = jnp.ones(cap, bool)
+        for p2, p1 in zip(shifted, cur):
+            lt = lt | (eqs & (p2 < p1))
+            eqs = eqs & (p2 == p1)
+        take_shift = same & (lt if is_min else (~lt & ~eqs))
+        cur = [jnp.where(take_shift, p2, p1)
+               for p2, p1 in zip(shifted, cur)]
+        s <<= 1
+    return _at_starts(ctx, cur)
+
+
+# ---------------------------------------------------------------------------
+# per-aggregate dispatch
+# ---------------------------------------------------------------------------
+
+
+def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
+                 val_ops: List[jax.Array]) -> col.Column:
+    num_groups = ctx.num_groups
     wide_kind = c.wide if isinstance(c, col.PrimitiveColumn) else None
 
-    ok_sorted = c.valid_bool()[ctx.idx]
-    cnt = jax.ops.segment_sum(
-        ok_sorted.astype(jnp.int32), ctx.seg_id_safe, cap
-    )
+    (cnt,) = _group_sums_of(
+        [jnp.cumsum(ok_sorted.astype(U32), dtype=U32)], ctx)
+    cnt = cnt.astype(jnp.int32)
     has = cnt > 0
     has_v = bm.pack(has)
 
     if agg == "count":
-        return col.PrimitiveColumn(wd.from_int32(cnt), None, num_groups, st.int64)
-
-    if isinstance(c, col.BooleanColumn):
-        vals = c.values_bool().astype(jnp.int32)
-        wide_kind = None
-    elif isinstance(c, col.PrimitiveColumn):
-        vals = c.values
-    else:
-        raise st.ComputeError(f"aggregate on {type(c).__name__} unsupported")
-
-    vals_sorted = vals[ctx.idx]
+        return col.PrimitiveColumn(wd.from_int32(cnt), None, num_groups,
+                                   st.int64)
 
     if (isinstance(c, col.PrimitiveColumn)
             and st.decimal_limbs(c.dtype) is not None):
-        return _segment_agg_decimal(
-            c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v)
-
+        return _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt,
+                                    has, has_v)
     if wide_kind is None:
-        return _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v)
+        return _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt,
+                                   has, has_v)
 
     # ---- wide (64-bit limb) paths --------------------------------------
+    lo_p, hi_p = val_ops[0], val_ops[1]
     if agg in ("sum", "mean"):
         if wide_kind == "f64":
-            v = wd.f64_to_value(vals_sorted)
+            v = wd.f64_to_value(wd.make(lo_p, hi_p))
             z = jnp.where(ok_sorted, v, 0.0)
-            s = jax.ops.segment_sum(z, ctx.seg_id_safe, cap)
+            cs = jnp.cumsum(z)
+            # f64 prefixes cannot ride the u32 compaction: split to bits?
+            # emulated-f64 bitcast is unsupported on this TPU, so gather
+            # the (few) group positions instead via compacted positions
+            top = _at_last(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            bot = _at_starts(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            s = cs[top.astype(jnp.int32)] - jnp.where(
+                bot > 0, cs[jnp.maximum(bot.astype(jnp.int32) - 1, 0)], 0.0)
             if agg == "mean":
                 mean = s / jnp.maximum(cnt, 1).astype(jnp.float64)
                 return col.PrimitiveColumn(
-                    wd.f64_from_value(mean), has_v, num_groups, st.float64
-                )
+                    wd.f64_from_value(mean), has_v, num_groups, st.float64)
             return col.PrimitiveColumn(
-                wd.f64_from_value(s), has_v, num_groups, st.float64
-            )
-        masked = jnp.where(ok_sorted[..., None], vals_sorted,
-                           jnp.zeros_like(vals_sorted))
-        s = _segmented_scan_to_groups(ctx, masked, wd.add, is_limb=True)
+                wd.f64_from_value(s), has_v, num_groups, st.float64)
+        s = _segment_sum_planes([lo_p, hi_p], ok_sorted, ctx)
         if agg == "mean":
-            fv = (wd.i64_to_float(s) if wide_kind == "i64" else wd.u64_to_float(s))
+            fv = (wd.i64_to_float(s) if wide_kind == "i64"
+                  else wd.u64_to_float(s))
             mean = fv / jnp.maximum(cnt, 1).astype(jnp.float64)
             return col.PrimitiveColumn(
-                wd.f64_from_value(mean), has_v, num_groups, st.float64
-            )
+                wd.f64_from_value(mean), has_v, num_groups, st.float64)
         return col.PrimitiveColumn(s, has_v, num_groups, c.dtype)
 
     if agg in ("min", "max"):
         is_min = agg == "min"
-        # transform to unsigned-sortable limbs
         if wide_kind == "f64":
-            ph, pl = wd.f64_total_order_planes(vals_sorted)
-            key = wd.make(pl, ph)
+            ph, pl = wd.f64_total_order_planes(wd.make(lo_p, hi_p))
         elif wide_kind == "i64":
-            key = wd.make(wd.lo(vals_sorted),
-                          wd.hi(vals_sorted) ^ wd.U32(0x80000000))
+            ph = hi_p.astype(U32) ^ U32(0x80000000)
+            pl = lo_p.astype(U32)
         else:
-            key = vals_sorted
-        ident_np = wd.split_numpy(
-            np.array(np.iinfo(np.uint64).max if is_min else 0, np.uint64).reshape(())
-        )
-        identb = jnp.asarray(ident_np, wd.U32)
-        masked = jnp.where(ok_sorted[..., None], key,
-                           jnp.broadcast_to(identb, key.shape))
-        if is_min:
-            combine = lambda x, y: jnp.where(wd.lt_unsigned(x, y)[..., None], x, y)
-        else:
-            combine = lambda x, y: jnp.where(wd.lt_unsigned(x, y)[..., None], y, x)
-        best = _segmented_scan_to_groups(ctx, masked, combine, is_limb=True)
-        # untransform
+            ph, pl = hi_p.astype(U32), lo_p.astype(U32)
+        bh, bl = _segment_minmax_planes([ph, pl], ok_sorted, ctx, is_min)
         if wide_kind == "f64":
-            ph, pl = wd.hi(best), wd.lo(best)
-            was_negative = (ph >> 31) == 0
-            mask_hi = jnp.where(was_negative, wd.U32(0xFFFFFFFF), wd.U32(0x80000000))
+            was_negative = (bh >> 31) == 0
+            mask_hi = jnp.where(was_negative, wd.U32(0xFFFFFFFF),
+                                wd.U32(0x80000000))
             mask_lo = jnp.where(was_negative, wd.U32(0xFFFFFFFF), wd.U32(0))
-            best = wd.make(pl ^ mask_lo, ph ^ mask_hi)
+            best = wd.make(bl ^ mask_lo, bh ^ mask_hi)
         elif wide_kind == "i64":
-            best = wd.make(wd.lo(best), wd.hi(best) ^ wd.U32(0x80000000))
+            best = wd.make(bl, bh ^ wd.U32(0x80000000))
+        else:
+            best = wd.make(bl, bh)
         best = jnp.where(has[..., None], best, jnp.zeros_like(best))
         return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
 
     raise st.ComputeError(f"unknown aggregate {agg!r}")
 
 
-def _segment_agg_decimal(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):
-    """Decimal SUM/MIN/MAX/MEAN via N-limb segmented scans (core/limbs.py).
+def _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
+    """Decimal SUM/MIN/MAX/MEAN via N-limb chunk cumsums / plane sweeps.
     Sum keeps the input scale; precision widens to the width max
     (reference decimal aggregate semantics, arrow-arith aggregate.rs)."""
     from ..core import limbs as lb
 
     num_groups = ctx.num_groups
-    nl = vals_sorted.shape[-1]
+    nl = len(val_ops)
     if agg in ("sum", "mean"):
-        masked = jnp.where(ok_sorted[..., None], vals_sorted,
-                           jnp.zeros_like(vals_sorted))
-        s = _segmented_scan_to_groups(ctx, masked, lb.add, is_limb=True)
+        s = _segment_sum_planes(list(val_ops), ok_sorted, ctx)
         out_dt = st.decimal_for_limbs(
             nl, st.MAX_DECIMAL_PRECISION[nl], c.dtype.scale)
         if agg == "mean":
@@ -237,44 +430,85 @@ def _segment_agg_decimal(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):
         return col.PrimitiveColumn(s, has_v, num_groups, out_dt)
     if agg in ("min", "max"):
         is_min = agg == "min"
-        key = vals_sorted.at[..., -1].set(
-            vals_sorted[..., -1] ^ jnp.uint32(0x80000000))
-        ident = jnp.full((nl,), 0xFFFFFFFF if is_min else 0, jnp.uint32)
-        masked = jnp.where(ok_sorted[..., None], key,
-                           jnp.broadcast_to(ident, key.shape))
-        if is_min:
-            combine = lambda x, y: jnp.where(
-                lb.lt_unsigned(x, y)[..., None], x, y)
-        else:
-            combine = lambda x, y: jnp.where(
-                lb.lt_unsigned(x, y)[..., None], y, x)
-        best = _segmented_scan_to_groups(ctx, masked, combine, is_limb=True)
-        best = best.at[..., -1].set(best[..., -1] ^ jnp.uint32(0x80000000))
+        # big-endian plane order, sign-flipped top limb (total order)
+        planes = []
+        for j in range(nl - 1, -1, -1):
+            p = val_ops[j].astype(U32)
+            if j == nl - 1:
+                p = p ^ U32(0x80000000)
+            planes.append(p)
+        best_planes = _segment_minmax_planes(planes, ok_sorted, ctx, is_min)
+        best = jnp.stack(best_planes[::-1], axis=-1)
+        best = best.at[..., -1].set(best[..., -1] ^ U32(0x80000000))
         best = jnp.where(has[..., None], best, jnp.zeros_like(best))
         return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
     raise st.ComputeError(f"decimal aggregate {agg!r} unsupported")
 
 
-def _segment_agg_narrow(c, ctx, agg, vals_sorted, ok_sorted, cnt, has, has_v):
-    cap, num_groups = ctx.cap, ctx.num_groups
+def _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
+    num_groups = ctx.num_groups
+    vals_sorted = val_ops[0]
+    dt = (jnp.int32 if isinstance(c, col.BooleanColumn)
+          else vals_sorted.dtype)
     if agg in ("sum", "mean"):
-        z = jnp.where(ok_sorted, vals_sorted, jnp.zeros_like(vals_sorted))
-        s = jax.ops.segment_sum(z, ctx.seg_id_safe, cap)
-        if agg == "sum":
-            return col.PrimitiveColumn(s, has_v, num_groups, st.from_jnp(s.dtype))
-        mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1).astype(jnp.float64)
-        return col.PrimitiveColumn(
-            wd.f64_from_value(mean), has_v, num_groups, st.float64
-        )
+        if jnp.issubdtype(dt, jnp.floating):
+            z = jnp.where(ok_sorted, vals_sorted.astype(jnp.float64), 0.0)
+            cs = jnp.cumsum(z)
+            top = _at_last(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            bot = _at_starts(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            s = cs[top.astype(jnp.int32)] - jnp.where(
+                bot > 0, cs[jnp.maximum(bot.astype(jnp.int32) - 1, 0)], 0.0)
+            if agg == "sum":
+                out = s.astype(dt) if dt != jnp.float64 else s
+                return col.PrimitiveColumn(out, has_v, num_groups,
+                                           st.from_jnp(dt))
+            mean = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+            return col.PrimitiveColumn(
+                wd.f64_from_value(mean), has_v, num_groups, st.float64)
+        # integer: exact wrapping sum via u32 chunk prefixes (zero hi
+        # plane -> exact 64-bit sum of the u32 bit patterns; a negative-
+        # count correction recovers the sign-extended 64-bit sum)
+        signed = jnp.issubdtype(dt, jnp.signedinteger)
+        words = (vals_sorted.astype(jnp.int32).astype(U32) if signed
+                 else vals_sorted.astype(U32))
+        pair = _segment_sum_planes(
+            [words, jnp.zeros_like(words)], ok_sorted, ctx)
+        lo = pair[:, 0]
+        if agg == "mean":
+            if signed:
+                negs = jnp.cumsum(jnp.where(
+                    ok_sorted & ((words >> 31) != 0), U32(1), U32(0)),
+                    dtype=U32)
+                (negc,) = _group_sums_of([negs], ctx)
+            else:
+                negc = jnp.zeros_like(lo)
+            full = wd.make(lo, pair[:, 1] - negc)
+            fv = wd.i64_to_float(full) if signed else wd.u64_to_float(full)
+            mean = fv / jnp.maximum(cnt, 1).astype(jnp.float64)
+            return col.PrimitiveColumn(
+                wd.f64_from_value(mean), has_v, num_groups, st.float64)
+        out = lo.astype(jnp.int32).astype(dt) if signed else lo.astype(dt)
+        return col.PrimitiveColumn(out, has_v, num_groups, st.from_jnp(dt))
     if agg in ("min", "max"):
-        if jnp.issubdtype(vals_sorted.dtype, jnp.floating):
-            ident = jnp.array(jnp.inf if agg == "min" else -jnp.inf, vals_sorted.dtype)
+        is_min = agg == "min"
+        if jnp.issubdtype(dt, jnp.floating):
+            b = jax.lax.bitcast_convert_type(
+                vals_sorted.astype(jnp.float32), U32)
+            plane = jnp.where((b >> 31) != 0, ~b, b | U32(0x80000000))
+        elif jnp.issubdtype(dt, jnp.signedinteger):
+            plane = vals_sorted.astype(jnp.int32).astype(U32) \
+                ^ U32(0x80000000)
         else:
-            info = jnp.iinfo(vals_sorted.dtype)
-            ident = jnp.array(info.max if agg == "min" else info.min, vals_sorted.dtype)
-        z = jnp.where(ok_sorted, vals_sorted, ident)
-        fn = jax.ops.segment_min if agg == "min" else jax.ops.segment_max
-        r = fn(z, ctx.seg_id_safe, cap)
+            plane = vals_sorted.astype(U32)
+        (bp,) = _segment_minmax_planes([plane], ok_sorted, ctx, is_min)
+        if jnp.issubdtype(dt, jnp.floating):
+            raw = jnp.where((bp & U32(0x80000000)) != 0,
+                            bp & U32(0x7FFFFFFF), ~bp)
+            r = jax.lax.bitcast_convert_type(raw, jnp.float32).astype(dt)
+        elif jnp.issubdtype(dt, jnp.signedinteger):
+            r = (bp ^ U32(0x80000000)).astype(jnp.int32).astype(dt)
+        else:
+            r = bp.astype(dt)
         r = jnp.where(has, r, jnp.zeros_like(r))
         return col.PrimitiveColumn(r, has_v, num_groups, st.from_jnp(r.dtype))
     raise st.ComputeError(f"unknown aggregate {agg!r}")
