@@ -39,6 +39,13 @@ PALLAS_TILE = 16384
 # 32-bit lanes.
 BITMAP_WORD_BITS = 32
 
+# List sort keys compare element-by-element up to this many leading
+# elements (then a length tiebreaker) — the list analogue of the string
+# len_bound: static plane counts for the TPU sort (rowformat/encode.py;
+# reference arrow-row/src/list.rs encodes unbounded blocks, which has no
+# fixed-width equivalent).
+LIST_SORT_BOUND = 8
+
 
 def round_up(n: int, m: int | None = None) -> int:
     if m is None:

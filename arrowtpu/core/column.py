@@ -151,6 +151,34 @@ class PrimitiveColumn(Column):
                 return vals
             valid = bm.to_numpy_bools(self.validity, n)
             return [v if ok else None for v, ok in zip(vals, valid)]
+        if isinstance(self.dtype, st.FixedSizeBinary):
+            w = self.dtype.byte_width
+            raw = np.asarray(self.values)[:n].astype("<u4").tobytes()
+            nw = self.values.shape[1]
+            vals = [raw[i * nw * 4 : i * nw * 4 + w] for i in range(n)]
+            if self.validity is None:
+                return vals
+            valid = bm.to_numpy_bools(self.validity, n)
+            return [v if ok else None for v, ok in zip(vals, valid)]
+        if isinstance(self.dtype, st.Interval):
+            words = np.asarray(self.values)[:n]
+            unit = self.dtype.unit
+            if unit == "year_month":
+                vals = [int(np.int32(w0)) for w0 in words[:, 0]]
+            elif unit == "day_time":
+                vals = [(int(np.int32(a)), int(np.int32(b)))
+                        for a, b in words[:, :2]]
+            else:
+                nanos = words[:, 2].astype(np.uint64) | (
+                    words[:, 3].astype(np.uint64) << np.uint64(32))
+                vals = [(int(np.int32(m)), int(np.int32(d)),
+                         int(np.int64(nv)))
+                        for m, d, nv in zip(words[:, 0], words[:, 1],
+                                            nanos.view(np.int64))]
+            if self.validity is None:
+                return vals
+            valid = bm.to_numpy_bools(self.validity, n)
+            return [v if ok else None for v, ok in zip(vals, valid)]
         kind = self.wide
         if kind is not None:
             npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
@@ -570,6 +598,78 @@ def primitive(values, dtype: st.DataType = None, validity=None, length=None,
         probe = np.asarray(values) if not isinstance(values, jax.Array) else values
         dtype = st.from_jnp(probe.dtype)
 
+    if isinstance(dtype, st.FixedSizeBinary):
+        nw = -(-dtype.byte_width // 4)
+        if isinstance(values, jax.Array) or (
+                isinstance(values, np.ndarray) and values.ndim == 2):
+            vals = jnp.asarray(values).astype(jnp.uint32)
+        else:
+            n0 = len(values)
+            buf = np.zeros((n0, nw * 4), np.uint8)
+            for i, v in enumerate(values):
+                if v is None:
+                    continue
+                b = bytes(v)
+                if len(b) != dtype.byte_width:
+                    raise st.InvalidArgumentError(
+                        f"fixed_size_binary[{dtype.byte_width}]: "
+                        f"value {i} has {len(b)} bytes")
+                buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+            vals = jnp.asarray(buf.view("<u4").reshape(n0, nw))
+        n = vals.shape[0]
+        cap = round_up(max(n, 1) if capacity is None else capacity)
+        if cap != n:
+            vals = jnp.pad(vals, ((0, cap - n), (0, 0)))
+        if validity is not None:
+            validity = jnp.asarray(validity)
+            if validity.dtype == jnp.bool_:
+                if validity.shape[0] != cap:
+                    validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+                validity = bm.pack(validity)
+        return PrimitiveColumn(
+            vals, validity, _as_length(n if length is None else length, cap),
+            dtype)
+
+    if isinstance(dtype, st.Interval):
+        nw = dtype.n_words
+        if isinstance(values, jax.Array) or (
+                isinstance(values, np.ndarray) and values.ndim == 2):
+            vals = jnp.asarray(values).astype(jnp.uint32)
+        else:
+            n0 = len(values)
+            buf = np.zeros((n0, nw), np.uint32)
+            for i, v in enumerate(values):
+                if v is None:
+                    continue
+                if dtype.unit == "year_month":
+                    buf[i, 0] = np.int32(v).view(np.uint32) if not isinstance(
+                        v, tuple) else np.int32(v[0]).view(np.uint32)
+                elif dtype.unit == "day_time":
+                    d_, ms = v
+                    buf[i, 0] = np.int32(d_).view(np.uint32)
+                    buf[i, 1] = np.int32(ms).view(np.uint32)
+                else:
+                    m, d_, nanos = v
+                    buf[i, 0] = np.int32(m).view(np.uint32)
+                    buf[i, 1] = np.int32(d_).view(np.uint32)
+                    nv = np.int64(nanos).view(np.uint64)
+                    buf[i, 2] = np.uint32(nv & np.uint64(0xFFFFFFFF))
+                    buf[i, 3] = np.uint32(nv >> np.uint64(32))
+            vals = jnp.asarray(buf)
+        n = vals.shape[0]
+        cap = round_up(max(n, 1) if capacity is None else capacity)
+        if cap != n:
+            vals = jnp.pad(vals, ((0, cap - n), (0, 0)))
+        if validity is not None:
+            validity = jnp.asarray(validity)
+            if validity.dtype == jnp.bool_:
+                if validity.shape[0] != cap:
+                    validity = jnp.pad(validity, (0, cap - validity.shape[0]))
+                validity = bm.pack(validity)
+        return PrimitiveColumn(
+            vals, validity, _as_length(n if length is None else length, cap),
+            dtype)
+
     nlimb = st.decimal_limbs(dtype)
     if nlimb is not None:
         from . import limbs as lb
@@ -716,7 +816,8 @@ def from_pylist(data, dtype: st.DataType = None) -> Column:
         return string_view(data, dtype=dtype)
     if isinstance(dtype, st.Dictionary):
         return dictionary_encode_host(data, dtype)
-    if st.decimal_limbs(dtype) is not None:
+    if (st.decimal_limbs(dtype) is not None
+            or isinstance(dtype, (st.FixedSizeBinary, st.Interval))):
         return primitive(
             data, dtype,
             validity=bm.from_numpy_bools(valid) if has_nulls else None,

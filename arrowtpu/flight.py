@@ -211,6 +211,18 @@ class FlightServer:
         self._server = None
 
     # -- overridables --------------------------------------------------------
+    def do_exchange_batches(self, descriptor: dict,
+                            batches: Iterable[bt.RecordBatch]):
+        """Bidirectional stream hook (reference client.rs:422 do_exchange):
+        receives the client's batches, returns response batches.  Default:
+        echo."""
+        return list(batches)
+
+    def handshake_payload(self, payload: bytes) -> bytes:
+        """Auth handshake hook (reference HandshakeRequest/Response).
+        Default: echo the client payload (no-auth handshake)."""
+        return payload
+
     def do_get_batches(self, ticket: bytes):
         name = ticket.decode("utf-8")
         batches = self.tables.get(name)
@@ -266,6 +278,41 @@ class FlightServer:
         _w_bytes(out, 1, _ipc_framed_schema(self.tables[name][0].schema))
         return bytes(out)
 
+    def _handshake(self, request_iterator, context):
+        for raw in request_iterator:
+            d = _parse(raw)
+            payload = bytes(_first(d, 2))
+            out = bytearray()
+            _w_int(out, 1, 1)  # protocol_version
+            resp = self.handshake_payload(payload)
+            if resp:
+                _w_bytes(out, 2, resp)
+            yield bytes(out)
+
+    def _do_exchange(self, request_iterator, context):
+        decoder = ipc.MessageDecoder()
+        descriptor = None
+        batches: List[bt.RecordBatch] = []
+        for raw in request_iterator:
+            fd = decode_flight_data(raw)
+            if fd["descriptor"] and descriptor is None:
+                descriptor = decode_descriptor(fd["descriptor"])
+            if fd["data_header"]:
+                out = decoder.decode(fd["data_header"], fd["data_body"])
+                if out is not None:
+                    batches.append(out)
+        result = self.do_exchange_batches(
+            descriptor or {"path": [], "cmd": b""}, batches)
+        result = list(result)
+        if result:
+            dict_ids: Dict[str, int] = {}
+            sent: set = set()
+            yield encode_flight_data(
+                ipc.encode_schema_message(result[0].schema, dict_ids), b"")
+            for b in result:
+                for meta, body in ipc.encode_batch_messages(b, dict_ids, sent):
+                    yield encode_flight_data(meta, body)
+
     def _list_flights(self, request: bytes, context):
         for name, batches in self.tables.items():
             yield encode_flight_info(
@@ -296,6 +343,12 @@ class FlightServer:
             ),
             "ListFlights": grpc.unary_stream_rpc_method_handler(
                 self._list_flights, request_deserializer=ident, response_serializer=ident
+            ),
+            "Handshake": grpc.stream_stream_rpc_method_handler(
+                self._handshake, request_deserializer=ident, response_serializer=ident
+            ),
+            "DoExchange": grpc.stream_stream_rpc_method_handler(
+                self._do_exchange, request_deserializer=ident, response_serializer=ident
             ),
         }
         server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
@@ -339,6 +392,12 @@ class FlightClient:
         )
         self._list = self._channel.unary_stream(
             f"/{SERVICE}/ListFlights", request_serializer=ident, response_deserializer=ident
+        )
+        self._handshake_rpc = self._channel.stream_stream(
+            f"/{SERVICE}/Handshake", request_serializer=ident, response_deserializer=ident
+        )
+        self._exchange_rpc = self._channel.stream_stream(
+            f"/{SERVICE}/DoExchange", request_serializer=ident, response_deserializer=ident
         )
 
     def do_get(self, ticket: bytes) -> List[bt.RecordBatch]:
@@ -387,6 +446,44 @@ class FlightClient:
             d = _parse(raw)
             desc = decode_descriptor(bytes(_first(d, 2)))
             out.append({"path": desc["path"]})
+        return out
+
+    def handshake(self, payload: bytes = b"") -> bytes:
+        """reference client.rs handshake: one round trip, returns the
+        server's response payload."""
+        req = bytearray()
+        _w_int(req, 1, 1)
+        if payload:
+            _w_bytes(req, 2, payload)
+        for raw in self._handshake_rpc(iter([bytes(req)])):
+            return bytes(_first(_parse(raw), 2))
+        return b""
+
+    def do_exchange(self, path: str, batches: List[bt.RecordBatch]):
+        """Bidirectional stream (reference client.rs:422): send batches,
+        collect the response batches."""
+        desc = encode_descriptor(path=[path])
+        schema = batches[0].schema
+        dict_ids: Dict[str, int] = {}
+        sent: set = set()
+
+        def gen():
+            yield encode_flight_data(
+                ipc.encode_schema_message(schema, dict_ids), b"",
+                descriptor=desc)
+            for b in batches:
+                for meta, body in ipc.encode_batch_messages(b, dict_ids, sent):
+                    yield encode_flight_data(meta, body)
+
+        decoder = ipc.MessageDecoder()
+        out = []
+        for raw in self._exchange_rpc(gen()):
+            fd = decode_flight_data(raw)
+            if not fd["data_header"]:
+                continue
+            b = decoder.decode(fd["data_header"], fd["data_body"])
+            if b is not None:
+                out.append(b)
         return out
 
     def close(self):

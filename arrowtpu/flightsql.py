@@ -1,0 +1,239 @@
+"""Flight SQL: the query protocol layered on the Flight data plane.
+
+Capability mirror of /root/reference/arrow-flight/src/sql/
+(server.rs:56 FlightSqlService, client.rs FlightSqlServiceClient,
+gen/arrow.flight.protocol.sql.rs command messages): commands travel as
+protobuf `google.protobuf.Any` payloads inside FlightDescriptor.cmd /
+Ticket.ticket.  This slice implements the statement-query path —
+CommandStatementQuery -> GetFlightInfo -> TicketStatementQuery -> DoGet —
+plus catalog/table listing commands, which is what generic clients (a
+stock pyarrow.flight client building command descriptors) need to run a
+query end to end.
+
+The server executes queries with the ENGINE'S OWN kernels: a small
+SELECT parser drives ops.cmp / ops.filter / projection / LIMIT on
+registered RecordBatches (the reference's FlightSqlService leaves
+execution to the application in exactly the same way).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+from typing import Dict, List, Optional
+
+from . import schema as st
+from .core import batch as bt
+from .flight import (FlightClient, FlightServer, _first, _parse, _w_bytes,
+                     encode_descriptor)
+
+_TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+
+
+def _any_pack(type_name: str, value: bytes) -> bytes:
+    out = bytearray()
+    _w_bytes(out, 1, (_TYPE_PREFIX + type_name).encode())
+    _w_bytes(out, 2, value)
+    return bytes(out)
+
+
+def _any_unpack(buf: bytes):
+    d = _parse(buf)
+    url = bytes(_first(d, 1)).decode()
+    return url.rsplit(".", 1)[-1], bytes(_first(d, 2))
+
+
+def command_statement_query(query: str) -> bytes:
+    """CommandStatementQuery{query=1} wrapped in Any (sql.proto)."""
+    inner = bytearray()
+    _w_bytes(inner, 1, query.encode())
+    return _any_pack("CommandStatementQuery", bytes(inner))
+
+
+def ticket_statement_query(handle: bytes) -> bytes:
+    """TicketStatementQuery{statement_handle=1} wrapped in Any."""
+    inner = bytearray()
+    _w_bytes(inner, 1, handle)
+    return _any_pack("TicketStatementQuery", bytes(inner))
+
+
+def command_get_tables() -> bytes:
+    return _any_pack("CommandGetTables", b"")
+
+
+# ---------------------------------------------------------------------------
+# minimal SELECT evaluator (engine kernels do the work)
+# ---------------------------------------------------------------------------
+
+_SELECT_RE = re.compile(
+    r"^\s*select\s+(?P<cols>\*|[\w\s,]+?)\s+from\s+(?P<table>\w+)"
+    r"(?:\s+where\s+(?P<where>.+?))?(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COND_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?P<op>=|==|!=|<>|<=|>=|<|>)\s*(?P<lit>.+?)\s*$")
+
+_OPS = {"=": "eq", "==": "eq", "!=": "neq", "<>": "neq", "<": "lt",
+        "<=": "lt_eq", ">": "gt", ">=": "gt_eq"}
+
+
+def _literal(text: str):
+    text = text.strip()
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1]
+    if "." in text or "e" in text.lower():
+        return float(text)
+    return int(text)
+
+
+def execute_select(tables: Dict[str, bt.RecordBatch], sql: str) -> bt.RecordBatch:
+    """SELECT [cols|*] FROM t [WHERE col op lit [AND ...]] [LIMIT n],
+    evaluated with the engine's cmp/boolean/filter kernels."""
+    from . import ops
+
+    m = _SELECT_RE.match(sql)
+    if not m:
+        raise st.ComputeError(f"flightsql: cannot parse query: {sql!r}")
+    table = m.group("table")
+    if table not in tables:
+        raise st.ComputeError(f"flightsql: unknown table {table!r}")
+    batch = tables[table]
+    if m.group("where"):
+        mask = None
+        for cond in re.split(r"\s+and\s+", m.group("where"),
+                             flags=re.IGNORECASE):
+            cm = _COND_RE.match(cond)
+            if not cm:
+                raise st.ComputeError(f"flightsql: bad condition {cond!r}")
+            fn = getattr(ops, _OPS[cm.group("op")])
+            part = fn(batch[cm.group("col")], _literal(cm.group("lit")))
+            mask = part if mask is None else ops.and_kleene(mask, part)
+        batch = ops.filter_record_batch(batch, mask)
+    cols = m.group("cols").strip()
+    if cols != "*":
+        names = [c.strip() for c in cols.split(",")]
+        batch = batch.project(names)
+    if m.group("limit") is not None:
+        from .ops.coalesce import slice_batch
+
+        n = min(int(m.group("limit")), int(batch.length))
+        batch = slice_batch(batch, 0, n)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# server / client
+# ---------------------------------------------------------------------------
+
+
+class FlightSqlServer(FlightServer):
+    """FlightSqlService (reference sql/server.rs:56): statement queries
+    over registered tables.  Works with any Flight client that sends
+    command descriptors (pyarrow.flight included)."""
+
+    def __init__(self, tables: Optional[Dict[str, bt.RecordBatch]] = None):
+        super().__init__()
+        self.sql_tables: Dict[str, bt.RecordBatch] = tables or {}
+        self._statements: Dict[bytes, bt.RecordBatch] = {}
+        self._next = 0
+        self._lock = threading.Lock()
+
+    def register_table(self, name: str, batch: bt.RecordBatch):
+        self.sql_tables[name] = batch
+
+    def _get_flight_info(self, request: bytes, context):
+        desc = __import__("arrowtpu.flight", fromlist=["decode_descriptor"]) \
+            .decode_descriptor(request)
+        if desc["cmd"]:
+            name, payload = _any_unpack(desc["cmd"])
+            if name == "CommandStatementQuery":
+                sql = bytes(_first(_parse(payload), 1)).decode()
+                result = execute_select(self.sql_tables, sql)
+                with self._lock:
+                    handle = f"stmt-{self._next}".encode()
+                    self._next += 1
+                    self._statements[handle] = result
+                from .flight import encode_flight_info
+
+                return encode_flight_info(
+                    result.schema, request,
+                    ticket_statement_query(handle),
+                    total_records=int(result.length))
+            if name == "CommandGetTables":
+                listing = self._tables_listing()
+                with self._lock:
+                    handle = f"tables-{self._next}".encode()
+                    self._next += 1
+                    self._statements[handle] = listing
+                from .flight import encode_flight_info
+
+                return encode_flight_info(
+                    listing.schema, request,
+                    ticket_statement_query(handle),
+                    total_records=int(listing.length))
+            raise st.ComputeError(f"flightsql: unsupported command {name}")
+        return super()._get_flight_info(request, context)
+
+    def do_get_batches(self, ticket: bytes):
+        # FlightSQL tickets are Any-wrapped TicketStatementQuery
+        if ticket.startswith(b"\n"):
+            try:
+                name, payload = _any_unpack(ticket)
+                if name == "TicketStatementQuery":
+                    handle = bytes(_first(_parse(payload), 1))
+                    result = self._statements.get(handle)
+                    if result is None:
+                        raise KeyError(handle)
+                    return result.schema, iter([result])
+            except (KeyError, st.ArrowTpuError):
+                raise
+            except Exception:
+                pass
+        return super().do_get_batches(ticket)
+
+    def _tables_listing(self) -> bt.RecordBatch:
+        from .core import column as ccol
+
+        names = sorted(self.sql_tables)
+        return bt.RecordBatch(
+            st.Schema((st.Field("catalog_name", st.utf8),
+                       st.Field("table_name", st.utf8))),
+            (ccol.from_pylist(["main"] * len(names), st.utf8),
+             ccol.from_pylist(names, st.utf8)),
+        )
+
+
+class FlightSqlClient:
+    """reference sql/client.rs FlightSqlServiceClient: execute() runs
+    GetFlightInfo(CommandStatementQuery) then DoGet(ticket)."""
+
+    def __init__(self, location: str):
+        self._inner = FlightClient(location)
+
+    def execute(self, sql: str) -> List[bt.RecordBatch]:
+        raw = self._inner._info(
+            encode_descriptor(cmd=command_statement_query(sql)))
+        d = _parse(raw)
+        endpoints = d.get(3, [])
+        if not endpoints:
+            return []
+        from .flight import decode_ticket
+
+        ticket = decode_ticket(bytes(_first(_parse(bytes(endpoints[0])), 1)))
+        return self._inner.do_get(ticket)
+
+    def get_tables(self) -> List[str]:
+        raw = self._inner._info(encode_descriptor(cmd=command_get_tables()))
+        d = _parse(raw)
+        from .flight import decode_ticket
+
+        ticket = decode_ticket(
+            bytes(_first(_parse(bytes(d.get(3, [b""])[0])), 1)))
+        batches = self._inner.do_get(ticket)
+        out: List[str] = []
+        for b in batches:
+            out.extend(b.to_pydict()["table_name"])
+        return out
+
+    def close(self):
+        self._inner.close()

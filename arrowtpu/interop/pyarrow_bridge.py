@@ -7,11 +7,11 @@ the C Data Interface) and the C FFI structs
 device-resident engine: the conversion happens on host at the HBM boundary,
 buffer-at-a-time with numpy (no per-row Python), then ships to/from device.
 
-Layout notes that make this cheap:
-  * our packed uint32 validity words are bit-for-bit Arrow's validity bitmap
-    viewed as little-endian u32 (both are LSB-first within the byte); the
-    conversion is a `tobytes`/`frombuffer`, no bit shuffling;
-  * Boolean values use the same packed layout on both sides;
+Layout notes:
+  * device bitmaps use the TPU-native sublane-major bit order
+    (core/bitmap.py) — NOT Arrow's sequential order — so every validity/
+    boolean buffer converts through to_numpy_bools/from_numpy_bools at
+    this boundary (vectorized numpy, no per-row Python);
   * our string views are arrow Utf8View/BinaryView views
     (arrow-data/src/byte_view.rs:70) with a single arena buffer; we convert
     to/from offset-encoded pa.utf8 with vectorized gathers.
@@ -86,6 +86,14 @@ def dtype_to_pa(dt: st.DataType):
         if hasattr(pa, "decimal64"):
             return pa.decimal64(dt.precision, dt.scale)
         return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, st.FixedSizeBinary):
+        return pa.binary(dt.byte_width)
+    if isinstance(dt, st.Interval):
+        if dt.unit == "month_day_nano":
+            return pa.month_day_nano_interval()
+        if dt.unit == "day_time":
+            return pa.day_time_interval()
+        return pa.month_interval()
     if isinstance(dt, st.List):
         return pa.list_(dtype_to_pa(dt.value))
     if isinstance(dt, st.FixedSizeList):
@@ -129,6 +137,14 @@ def dtype_from_pa(t) -> st.DataType:
         hasattr(pa.types, "is_binary_view") and pa.types.is_binary_view(t)
     ):
         return st.binary
+    if pa.types.is_fixed_size_binary(t):
+        return st.FixedSizeBinary(t.byte_width)
+    if pa.types.is_interval(t):
+        if t == pa.month_day_nano_interval():
+            return st.Interval("month_day_nano")
+        if t == pa.day_time_interval():
+            return st.Interval("day_time")
+        return st.Interval("year_month")
     if pa.types.is_decimal(t):
         nl = t.bit_width // 32
         return st.decimal_for_limbs(nl, t.precision, t.scale)
@@ -211,6 +227,18 @@ def _primitive_to_pa(c: col.PrimitiveColumn):
             patype, n, [validity, pa.py_buffer(vals.tobytes())],
             null_count=null_count,
         )
+    if isinstance(c.dtype, (st.FixedSizeBinary, st.Interval)):
+        words = np.ascontiguousarray(np.asarray(c.values)[:n]).astype("<u4")
+        if isinstance(c.dtype, st.FixedSizeBinary):
+            w = c.dtype.byte_width
+            by = words.view(np.uint8).reshape(n, -1)[:, :w]
+            payload = np.ascontiguousarray(by).tobytes()
+        else:
+            payload = words.tobytes()
+        validity, null_count = _validity_to_pa_buffer(c)
+        return pa.Array.from_buffers(
+            dtype_to_pa(c.dtype), n, [validity, pa.py_buffer(payload)],
+            null_count=null_count)
     kind = c.wide
     if kind is not None:
         npdt = {"i64": np.int64, "u64": np.uint64, "f64": np.float64}[kind]
@@ -403,6 +431,21 @@ def _validity_from_pa(a, cap: int):
 def _primitive_from_pa(a, dt: st.DataType) -> col.PrimitiveColumn:
     n = len(a)
     cap = round_up(max(n, 1))
+    if isinstance(dt, (st.FixedSizeBinary, st.Interval)):
+        itemsize = a.type.byte_width if isinstance(
+            dt, st.FixedSizeBinary) else a.type.bit_width // 8
+        nw = (-(-dt.byte_width // 4) if isinstance(dt, st.FixedSizeBinary)
+              else dt.n_words)
+        raw = (np.frombuffer(a.buffers()[1], np.uint8, count=n * itemsize)
+               if n else np.zeros(0, np.uint8))
+        by = raw.reshape(n, itemsize)
+        if itemsize < nw * 4:
+            by = np.concatenate(
+                [by, np.zeros((n, nw * 4 - itemsize), np.uint8)], axis=1)
+        words = np.ascontiguousarray(by).view("<u4").reshape(n, nw)
+        validity = _validity_from_pa(a, cap)
+        return col.primitive(words, dt, validity=validity, capacity=cap,
+                             length=n)
     itemsize = a.type.bit_width // 8
     nlimb = st.decimal_limbs(dt)
     if nlimb is not None:

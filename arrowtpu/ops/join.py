@@ -168,12 +168,20 @@ def build_table(key_cols: Sequence[col.Column], *, slack: int = 2) -> HashTable:
             eq = eq & (p[rows_a] == p[rows_b])
         return eq
 
+    # round cap (round-3 hardening): linear probing provably terminates
+    # within `size` rounds (load factor < 1 guarantees an empty slot per
+    # cluster), but adversarial clustering can force many serial
+    # full-vector rounds.  The cap makes the worst case a hard bound
+    # instead of an assumption; duplicate keys retire to the sorted group
+    # index on their FIRST collision, so equal-key floods never loop.
+    max_rounds = size
+
     def cond(state):
-        _, pending, _, _ = state
-        return jnp.any(pending)
+        _, pending, _, _, rounds = state
+        return jnp.any(pending) & (rounds < max_rounds)
 
     def body(state):
-        slots, pending, offset, dup = state
+        slots, pending, offset, dup, rounds = state
         pos = ((h + offset) & mask).astype(jnp.int32)
         scatter_pos = jnp.where(pending, pos, size)  # inactive -> OOB drop
         # candidates compete in a fresh array; occupied slots never change
@@ -192,10 +200,10 @@ def build_table(key_cols: Sequence[col.Column], *, slack: int = 2) -> HashTable:
         dup = dup | jnp.any(same_key)
         pending2 = pending & ~won & ~same_key  # dup keys retire: the group
         offset2 = jnp.where(pending2, offset + 1, offset)  # index covers them
-        return slots2, pending2, offset2, dup
+        return slots2, pending2, offset2, dup, rounds + 1
 
-    slots, _, _, dup = jax.lax.while_loop(
-        cond, body, (slots0, pending0, offset0, dup0)
+    slots, _, _, dup, _ = jax.lax.while_loop(
+        cond, body, (slots0, pending0, offset0, dup0, jnp.int32(0))
     )
     slots = jnp.where(slots == EMPTY, jnp.int32(-1), slots)
     order, grp_start, grp_size = _group_index(planes, valid)
@@ -220,18 +228,20 @@ def probe_table(table: HashTable, key_cols: Sequence[col.Column]) -> jax.Array:
         return eq
 
     probe_rowid = jnp.arange(cap, dtype=jnp.int32)
+    max_rounds = size  # termination bound (see build_table round cap)
     state0 = (
         jnp.full((cap,), -1, dtype=jnp.int32),  # result
         valid,  # pending
         jnp.zeros(cap, dtype=jnp.uint32),  # offset
+        jnp.int32(0),
     )
 
     def cond(state):
-        _, pending, _ = state
-        return jnp.any(pending)
+        _, pending, _, rounds = state
+        return jnp.any(pending) & (rounds < max_rounds)
 
     def body(state):
-        result, pending, offset = state
+        result, pending, offset, rounds = state
         pos = ((h + offset) & mask).astype(jnp.int32)
         occupant = table.slots[pos]
         empty = occupant == -1
@@ -240,9 +250,9 @@ def probe_table(table: HashTable, key_cols: Sequence[col.Column]) -> jax.Array:
         result2 = jnp.where(match, occupant, result)
         pending2 = pending & ~match & ~empty
         offset2 = jnp.where(pending2, offset + 1, offset)
-        return result2, pending2, offset2
+        return result2, pending2, offset2, rounds + 1
 
-    result, _, _ = jax.lax.while_loop(cond, body, state0)
+    result, _, _, _ = jax.lax.while_loop(cond, body, state0)
     return result
 
 

@@ -121,6 +121,15 @@ def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.
         value_planes = [words[:, k] for k in range(L // 4)]
         value_planes.append(lens.astype(_U32))
         valid = c.valid_bool()
+    elif isinstance(c, col.PrimitiveColumn) and isinstance(
+            c.dtype, st.FixedSizeBinary):
+        # memcmp byte order: byteswap each little-endian word, planes
+        # MSB-word first (reference fixed.rs FixedSizeBinary encoding)
+        v = c.values
+        sw = (((v & _U32(0xFF)) << 24) | ((v & _U32(0xFF00)) << 8)
+              | ((v >> 8) & _U32(0xFF00)) | (v >> 24))
+        value_planes = [sw[:, j] for j in range(v.shape[1])]
+        valid = c.valid_bool()
     elif isinstance(c, col.PrimitiveColumn):
         if st.decimal_limbs(c.dtype) is not None:
             # signed N-limb order: sign-flipped top limb, then high->low
@@ -133,6 +142,54 @@ def encode_column(c: col.Column, opts: SortOptions = SortOptions()) -> List[jax.
             value_planes = _float_planes(c.values)
         else:
             value_planes = _int_planes(c.values)
+        valid = c.valid_bool()
+    elif isinstance(c, col.StructColumn):
+        # depth-first: each child's FULL encoding (its own sentinel +
+        # value planes) in field order (reference arrow-row/src/lib.rs:
+        # 318-330 — structs encode a null indicator then the fields'
+        # encodings back to back)
+        value_planes = []
+        for ch in c.children:
+            value_planes.extend(encode_column(ch, SortOptions()))
+        valid = c.valid_bool()
+    elif isinstance(c, col.ListViewColumn):
+        # block encoding, flattened to planes (reference arrow-row/src/
+        # list.rs): element j contributes [present_j, element_j planes]
+        # for j < LIST_SORT_BOUND, then a final length plane breaks ties
+        # among lists equal on the bounded prefix.  Like len_bound for
+        # strings, the bound is a static engine parameter: lists that
+        # differ only beyond it compare equal before the length plane.
+        from ..config import LIST_SORT_BOUND
+
+        child = c.child
+        if not isinstance(child, col.PrimitiveColumn):
+            raise st.ComputeError(
+                "encode: list sort keys support primitive elements")
+        K = LIST_SORT_BOUND
+        starts = c.starts.astype(jnp.int32)
+        sizes = jnp.where(c.valid_bool(), c.sizes.astype(jnp.int32), 0)
+        value_planes = []
+        ccap = child.capacity
+        for j in range(K):
+            present = (sizes > j).astype(_U32)
+            idx = jnp.clip(starts + j, 0, ccap - 1)
+            if st.decimal_limbs(child.dtype) is not None:
+                from ..core import limbs as lb
+
+                elem_planes = lb.sort_planes(child.values[idx])
+            elif child.wide is not None:
+                elem_planes = _wide_planes(child.values[idx], child.wide)
+            elif jnp.issubdtype(child.values.dtype, jnp.floating):
+                elem_planes = _float_planes(child.values[idx])
+            else:
+                elem_planes = _int_planes(child.values[idx])
+            elem_ok = (present * child.valid_bool()[idx].astype(_U32))
+            value_planes.append(present)
+            # absent/null elements zero their planes; a null element
+            # sorts before any value at the same position
+            value_planes.append(elem_ok)
+            value_planes.extend([p * elem_ok for p in elem_planes])
+        value_planes.append(sizes.astype(_U32))
         valid = c.valid_bool()
     else:
         raise st.ComputeError(f"encode: unsupported column {type(c).__name__}")

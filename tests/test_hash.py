@@ -242,3 +242,58 @@ class TestNMJoin:
         out2, info2 = jn.hash_join(left, right, ["k"], out_capacity=256)
         assert not bool(info2.overflow)
         assert int(out2.length) == 256
+
+
+class TestAdversarialKeys:
+    """Round-3 hardening (verdict weak-#7): pathological key
+    distributions must terminate in bounded rounds and stay correct."""
+
+    def test_all_equal_keys_1m(self):
+        import numpy as np
+
+        import arrowtpu as at
+        from arrowtpu.ops import join as oj
+
+        n = 1 << 20
+        keys = np.zeros(n, np.int64)
+        build = at.primitive(keys, at.schema.int64, length=n)
+        probe = at.primitive(np.zeros(16, np.int64), at.schema.int64,
+                             length=16)
+        t = oj.build_table([build])
+        rep = oj.probe_table(t, [probe])
+        got = np.asarray(rep)[:16]
+        assert (got >= 0).all()          # every probe matches
+        assert bool(t.duplicates)               # duplicate groups detected
+
+    def test_two_hot_values_1m(self, rng):
+        import numpy as np
+
+        import arrowtpu as at
+        from arrowtpu.ops import join as oj
+
+        n = 1 << 20
+        keys = np.where(rng.random(n) < 0.5, 7, 99).astype(np.int64)
+        build = at.primitive(keys, at.schema.int64, length=n)
+        pk = np.array([7, 99, 1234], np.int64)
+        probe = at.primitive(pk, at.schema.int64, length=3)
+        t = oj.build_table([build])
+        rep = np.asarray(oj.probe_table(t, [probe]))[:3]
+        assert rep[0] >= 0 and rep[1] >= 0 and rep[2] == -1
+
+    def test_inner_join_equal_keys_counts(self, rng):
+        import numpy as np
+
+        import arrowtpu as at
+        from arrowtpu import ops
+
+        nb, npr = 1000, 500
+        left = at.record_batch({
+            "k": at.primitive(np.full(nb, 3, np.int64), at.schema.int64,
+                              length=nb)})
+        right = at.record_batch({
+            "k": at.primitive(np.full(npr, 3, np.int64), at.schema.int64,
+                              length=npr)})
+        out, info = ops.hash_join(left, right, ["k"],
+                                  out_capacity=nb * npr)
+        assert int(out.length) == nb * npr
+        assert not bool(info.overflow)
