@@ -270,9 +270,14 @@ def _batch_body_and_header(node_list: List[Node], compression: str = None):
     def frame(raw: bytes) -> bytes:
         if compression is None or len(raw) == 0:
             return raw
-        import zstandard
+        if compression == "lz4":
+            from . import lz4
 
-        comp = zstandard.ZstdCompressor().compress(raw)
+            comp = lz4.compress(raw)
+        else:
+            import zstandard
+
+            comp = zstandard.ZstdCompressor().compress(raw)
         if len(comp) >= len(raw):
             return struct.pack("<q", -1) + raw
         return struct.pack("<q", len(raw)) + comp
@@ -322,7 +327,7 @@ class StreamWriter:
     """reference StreamWriter (arrow-ipc/src/writer.rs)."""
 
     def __init__(self, sink, schema: st.Schema, compression: str = None):
-        if compression not in (None, "zstd"):
+        if compression not in (None, "zstd", "lz4"):
             raise st.ArrowTpuError(f"IPC: unsupported compression {compression!r}")
         self.sink = sink
         self.schema = schema
@@ -564,9 +569,9 @@ def _read_batch_columns(header: fb.Table, body: bytes, schema: st.Schema, dictio
             raw = zstandard.ZstdDecompressor().decompress(
                 payload, max_output_size=ulen)
         elif codec == 0:  # LZ4_FRAME
-            raise st.ArrowTpuError(
-                "IPC: LZ4_FRAME bodies unsupported (no lz4 in this "
-                "environment); use zstd")
+            from . import lz4
+
+            raw = lz4.decompress(bytes(payload), expected_size=ulen)
         else:
             raise st.ArrowTpuError(f"IPC: unknown compression codec {codec}")
         return np.frombuffer(raw, np.uint8)

@@ -1,0 +1,63 @@
+"""LZ4 frame codec (self-implemented; reference
+arrow-ipc/src/compression.rs:142 Lz4Frame).  Interop bar: read
+pyarrow-written LZ4_FRAME IPC files; pyarrow reads ours."""
+
+import io
+
+import numpy as np
+import pytest
+
+import arrowtpu as at
+from arrowtpu.formats import ipc, lz4
+
+pa = pytest.importorskip("pyarrow")
+
+
+def test_xxh32_golden():
+    # reference vectors from the xxHash spec repo
+    assert lz4.xxh32(b"") == 0x02CC5D05
+    assert lz4.xxh32(b"Hello World") == 0xB1FD16EE
+
+
+def test_block_roundtrip_via_frame():
+    data = b"abcdabcdabcdabcd" * 100 + b"tail"
+    frame = lz4.compress(data)
+    assert lz4.decompress(frame) == data
+
+
+def test_read_pyarrow_lz4_ipc():
+    rng = np.random.default_rng(0)
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 50, 5000)),   # repetitive: compresses
+        "s": pa.array(["abc"] * 2500 + ["defdef"] * 2500),
+    })
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    batches = ipc.read_stream(sink.getvalue())
+    got = batches[0].to_pydict()
+    assert got["a"] == t.column("a").to_pylist()
+    assert got["s"] == t.column("s").to_pylist()
+
+
+def test_pyarrow_reads_our_lz4_ipc():
+    b = at.record_batch({
+        "x": at.primitive(np.arange(1000), at.schema.int64, length=1000)})
+    buf = ipc.write_stream([b], compression="lz4")
+    reader = pa.ipc.open_stream(buf)
+    t = reader.read_all()
+    assert t.column("x").to_pylist() == list(range(1000))
+
+
+def test_overlapping_match_copy():
+    # RLE-ish pattern forces offset-1 overlap replication in block decode
+    rng = np.random.default_rng(1)
+    data = bytes(rng.integers(0, 4, 50).astype(np.uint8)) * 200
+    t = pa.table({"b": pa.array([data])})
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    batches = ipc.read_stream(sink.getvalue())
+    assert batches[0].to_pydict()["b"] == [data]
