@@ -7,12 +7,14 @@ LZ4 Block Format.
 
   * `decompress` parses real frames (any producer: pyarrow, arrow-rs):
     frame descriptor (with optional content-size / checksums, which are
-    skipped), data blocks, and full LZ4 BLOCK sequence decoding
-    (token / extended lengths / offset-match copies with overlap).
-  * `compress` emits spec-valid frames using UNCOMPRESSED data blocks
-    (high-bit block size): zero ratio but bit-valid for any reader —
-    the IPC layer's honest trade until a native encoder is warranted
-    (host decode is already the CSV/JSON/Parquet stance; see ipc.py).
+    skipped), data blocks — both block-INDEPENDENT and block-LINKED
+    (FLG bit 5: linked blocks decode into one shared history so matches
+    may reach into previous blocks) — and full LZ4 BLOCK sequence
+    decoding (token / extended lengths / offset-match copies w/ overlap).
+  * `compress` emits real compressed blocks via the native greedy
+    hash-table matcher (arrowtpu/native/src/lz4block.cpp, from-spec),
+    falling back per block to UNCOMPRESSED (high-bit block size) when the
+    native build is unavailable or the block is incompressible.
   * xxhash32 implemented for the frame-descriptor header checksum.
 """
 
@@ -76,9 +78,13 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def _block_decompress(src: bytes, max_out: int) -> bytes:
-    """LZ4 BLOCK format sequence decoding (with overlapping match copies)."""
-    out = bytearray()
+def _block_decompress_into(src: bytes, out: bytearray, min_reach: int,
+                           max_out: int) -> None:
+    """LZ4 BLOCK format sequence decoding into a shared output buffer.
+
+    `min_reach` is the smallest absolute output offset matches may
+    reference: the block's own start for block-independent frames, or 0
+    for block-linked frames (matches reach into prior blocks' history)."""
     i = 0
     n = len(src)
     while i < n:
@@ -109,8 +115,8 @@ def _block_decompress(src: bytes, max_out: int) -> bytes:
                 if b != 255:
                     break
         start = len(out) - offset
-        if start < 0:
-            raise st.ArrowTpuError("lz4: match offset before block start")
+        if start < min_reach:
+            raise st.ArrowTpuError("lz4: match offset before valid history")
         # overlapping copies replicate bytes (spec), so copy byte ranges
         # chunk-wise up to the overlap distance
         end = start + mlen
@@ -120,7 +126,6 @@ def _block_decompress(src: bytes, max_out: int) -> bytes:
             start += take
         if len(out) > max_out:
             raise st.ArrowTpuError("lz4: output exceeds declared size")
-    return bytes(out)
 
 
 def decompress(buf: bytes, expected_size: int | None = None) -> bytes:
@@ -132,6 +137,7 @@ def decompress(buf: bytes, expected_size: int | None = None) -> bytes:
     version = flg >> 6
     if version != 1:
         raise st.ArrowTpuError(f"lz4: unsupported frame version {version}")
+    independent = (flg >> 5) & 1  # FLG bit 5: block independence
     b_checksum = (flg >> 4) & 1
     c_size = (flg >> 3) & 1
     dict_id = flg & 1
@@ -157,12 +163,21 @@ def decompress(buf: bytes, expected_size: int | None = None) -> bytes:
         if uncompressed:
             out += block
         else:
-            out += _block_decompress(block, limit - len(out))
+            # linked frames (pyarrow default for >1-block payloads) let
+            # matches reach into previously decoded blocks' history
+            min_reach = len(out) if independent else 0
+            _block_decompress_into(block, out, min_reach, limit)
     return bytes(out)
 
 
 def compress(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:
-    """Encode one LZ4 frame using uncompressed data blocks (spec-valid)."""
+    """Encode one LZ4 frame.  Blocks go through the native greedy matcher
+    (arrowtpu/native lz4block.cpp); incompressible blocks (or a missing
+    native build) are stored UNCOMPRESSED (high-bit block size) —
+    spec-valid either way.  Blocks are compressed independently, so FLG
+    bit 5 (block independence) is set."""
+    from .. import native
+
     out = bytearray()
     out += struct.pack("<I", MAGIC)
     flg = (1 << 6) | (1 << 5)  # version 1, block-independence
@@ -172,7 +187,12 @@ def compress(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:
     out += desc + bytes([hc])
     for off in range(0, len(data), block_size):
         chunk = data[off : off + block_size]
-        out += struct.pack("<I", len(chunk) | 0x80000000)
-        out += chunk
+        comp = native.lz4_compress_block(chunk)
+        if comp is not None and len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp))
+            out += comp
+        else:
+            out += struct.pack("<I", len(chunk) | 0x80000000)
+            out += chunk
     out += struct.pack("<I", 0)  # EndMark
     return bytes(out)

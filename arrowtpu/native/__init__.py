@@ -1,0 +1,84 @@
+"""arrowtpu native runtime: C++ host-side hot paths, compiled on demand.
+
+The reference's host runtime is native Rust throughout; here the TPU
+compute path is JAX/Pallas and the host-side hot loops (LZ4 block
+compression, Avro varint block decode, ...) are C++ compiled with g++ at
+first import and loaded via ctypes (no pybind11 in this image).
+
+Build artifacts cache under ``native/_cache`` keyed by source hash, so
+repeat imports are instant and source edits rebuild automatically.  All
+users degrade gracefully (pure-Python fallbacks) when no compiler is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src")
+_CACHE = os.path.join(_DIR, "_cache")
+_lock = threading.Lock()
+_libs: dict = {}
+
+
+def _build(name: str) -> str | None:
+    src = os.path.join(_SRC, f"{name}.cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_CACHE, f"{name}-{digest}.so")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_CACHE, exist_ok=True)
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", "-o", tmp, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
+        return out
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
+def load(name: str):
+    """Load (building if needed) native library `name`; None on failure."""
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        path = _build(name)
+        lib = None
+        if path is not None:
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                lib = None
+        _libs[name] = lib
+        return lib
+
+
+def lz4_compress_block(data: bytes) -> bytes | None:
+    """Greedy LZ4 block compression (native); None if unavailable or
+    incompressible within the worst-case bound."""
+    lib = load("lz4block")
+    if lib is None:
+        return None
+    fn = lib.arrowtpu_lz4_compress_block
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    n = len(data)
+    cap = n + n // 255 + 16
+    dst = (ctypes.c_uint8 * cap)()
+    rc = fn(data, n, dst, cap)
+    if rc < 0:
+        return None
+    return bytes(bytearray(dst[:rc]))

