@@ -613,23 +613,69 @@ def rabin_fingerprint(schema_json: str) -> int:
     return fp
 
 
+_PCF_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string"))
+
+
+def _pcf_fullname(name: str, namespace, enclosing: str) -> str:
+    """Avro fullname resolution: dotted names are already full; otherwise
+    the schema's own namespace attribute wins, then the enclosing
+    record's namespace."""
+    if "." in name:
+        return name
+    ns = namespace if namespace is not None else enclosing
+    return f"{ns}.{name}" if ns else name
+
+
 def _parsing_canonical_form(schema_json: str) -> str:
-    """Minimal canonical form: strip non-essential attributes, order
-    keys name/type/fields/symbols/items/values/size (avro spec PCF)."""
-    keep = ("name", "type", "fields", "symbols", "items", "values", "size")
+    """Avro spec Parsing Canonical Form: [PRIMITIVES] bare-string
+    primitive forms, [FULLNAMES] namespace resolution (schema namespace
+    attribute or enclosing namespace) with namespace attributes
+    eliminated and name REFERENCES resolved too, [STRIP] keep only
+    name/type/fields/symbols/items/values/size, [ORDER] that key order.
+    (Round-3 advisor finding: the previous partial PCF skipped fullname
+    resolution, so fingerprints of namespaced schemas disagreed with
+    spec-compliant implementations.)"""
 
-    def canon(s):
-        if isinstance(s, list):
-            return [canon(x) for x in s]
-        if isinstance(s, dict):
-            if "logicalType" in s and s.get("type") in (
-                    "int", "long", "bytes", "string", "fixed"):
-                if s.get("type") != "fixed":
-                    return canon(s["type"])
-            return {k: canon(s[k]) for k in keep if k in s}
-        return s
+    def canon(s, enclosing: str):
+        if isinstance(s, str):
+            # primitive, or a name REFERENCE that resolves against the
+            # enclosing namespace
+            return s if s in _PCF_PRIMITIVES else _pcf_fullname(
+                s, None, enclosing)
+        if isinstance(s, list):  # union
+            return [canon(x, enclosing) for x in s]
+        t = s.get("type")
+        if "logicalType" in s and t in ("int", "long", "bytes", "string"):
+            return canon(t, enclosing)
+        out = {}
+        inner_ns = enclosing
+        if t in ("record", "enum", "fixed", "error"):
+            fn = _pcf_fullname(s["name"], s.get("namespace"), enclosing)
+            out["name"] = fn
+            inner_ns = fn.rsplit(".", 1)[0] if "." in fn else ""
+        out["type"] = canon(t, inner_ns) if not isinstance(t, str) or (
+            t not in ("record", "enum", "fixed", "error", "array", "map")
+            and t not in _PCF_PRIMITIVES) else t
+        if "fields" in s:
+            out["fields"] = [
+                {"name": f["name"], "type": canon(f["type"], inner_ns)}
+                for f in s["fields"]
+            ]
+        for k in ("symbols",):
+            if k in s:
+                out[k] = s[k]
+        for k in ("items", "values"):
+            if k in s:
+                out[k] = canon(s[k], inner_ns)
+        if "size" in s:
+            out["size"] = int(s["size"])
+        if set(out.keys()) == {"type"} and isinstance(out["type"], str) \
+                and out["type"] in _PCF_PRIMITIVES:
+            return out["type"]  # [PRIMITIVES]: {"type":"int"} -> "int"
+        return out
 
-    return json.dumps(canon(json.loads(schema_json)),
+    return json.dumps(canon(json.loads(schema_json), ""),
                       separators=(",", ":"))
 
 

@@ -687,24 +687,50 @@ def scan_batches_overlapped(source, columns: Optional[List[str]] = None, *,
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned the
+        generator (round-3 advisor finding: a plain q.put blocked forever
+        and leaked the thread + pinned the file buffer)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for rg in keep_rgs:
+                if stop.is_set():
+                    return
                 b = _scan_row_group(pf, rg, columns, preds, m)
-                if b is not None:
-                    q.put(b)
-            q.put(_END)
+                if b is not None and not _put(b):
+                    return
+            _put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done or abandoned (GeneratorExit lands here): release
+        # the producer, drain anything in flight, and only then hand the
+        # (producer-mutated) metrics back via return
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join()

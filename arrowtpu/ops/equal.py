@@ -140,29 +140,39 @@ def _masked_child_equal(ca, cb, ok_parent, live_parent):
     return jnp.all((veq & (eq | ~okc)) | ~livec)
 
 
+_GATHER_CHUNK = 4096
+
+
 def _list_values_equal(a: col.ListViewColumn, b: col.ListViewColumn,
                        ok, live):
-    """Gather both children to (rows, max_size) with per-row size masks."""
+    """Gather both children to (rows, chunk) windows with per-row size
+    masks, iterating static chunks up to the TRUE child capacity — exact
+    for any element count.  (Round-3 advisor medium finding: a silent
+    4096 cap made equal-size lists that differ only past element 4095
+    compare EQUAL; this API is the CPU-vs-TPU bit-exactness harness, so
+    silent truncation could mask real mismatches.  Chunking keeps the
+    gather working set bounded instead of materializing
+    (rows, child_capacity).)"""
     n = ok.shape[0]
-    w = int(max(_static_max_size(a), _static_max_size(b), 1))
-    ar = _gather_list(a, n, w)
-    br = _gather_list(b, n, w)
-    pos = jnp.arange(w, dtype=jnp.int32)[None, :]
-    within = pos < jnp.where(ok, a.sizes[:n], 0)[:, None]
-    eq = ar == br
-    if eq.ndim == 3:  # multi-word elements (64-bit limb pairs)
-        eq = jnp.all(eq, axis=-1)
-    eq = eq | ~within
-    return jnp.all(jnp.all(eq, axis=-1) | ~live)
+    max_size = int(max(a.child.capacity, b.child.capacity, 1))
+    sizes = jnp.where(ok, a.sizes[:n], 0)[:, None]
+    res = jnp.asarray(True)
+    for off in range(0, max_size, _GATHER_CHUNK):
+        w = min(_GATHER_CHUNK, max_size - off)
+        ar = _gather_list(a, n, off, w)
+        br = _gather_list(b, n, off, w)
+        pos = (off + jnp.arange(w, dtype=jnp.int32))[None, :]
+        within = pos < sizes
+        eq = ar == br
+        if eq.ndim == 3:  # multi-word elements (64-bit limb pairs)
+            eq = jnp.all(eq, axis=-1)
+        eq = eq | ~within
+        res = res & jnp.all(jnp.all(eq, axis=-1) | ~live)
+    return res
 
 
-def _static_max_size(c: col.ListViewColumn) -> int:
-    # child capacity bounds any single list's size
-    return min(c.child.capacity, 4096)
-
-
-def _gather_list(c: col.ListViewColumn, n: int, w: int):
-    idx = c.starts[:n, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+def _gather_list(c: col.ListViewColumn, n: int, off: int, w: int):
+    idx = c.starts[:n, None] + (off + jnp.arange(w, dtype=jnp.int32))[None, :]
     idx = jnp.clip(idx, 0, c.child.capacity - 1)
     child = c.child
     if isinstance(child, col.PrimitiveColumn):

@@ -51,6 +51,7 @@ from ..core import bitmap as bm
 from ..core import column as col
 from ..core import wide as wd
 from ..rowformat import encode as rf
+from ..rowformat import pack as rp
 
 AGGS = ("sum", "count", "min", "max", "mean")
 
@@ -173,7 +174,6 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
     length = batch.length
 
     planes = rf.encode_columns(key_cols)
-    pad = rf.padding_plane(cap, length)
     iota = jnp.arange(cap, dtype=jnp.int32)
 
     # payload operands: raw key columns (for output reconstruction) and
@@ -203,13 +203,12 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
                 f"aggregate on {type(c).__name__} unsupported")
         agg_slices[name] = (start, len(agg_ops))
 
-    operands = [pad] + planes + [iota] + key_ops + agg_ops
-    sorted_ops = jax.lax.sort(operands, dimension=0, is_stable=True,
-                              num_keys=1 + len(planes))
-    sorted_planes = sorted_ops[1 : 1 + len(planes)]
-    base = 2 + len(planes)
-    sorted_keys = sorted_ops[base : base + len(key_ops)]
-    sorted_aggs = sorted_ops[base + len(key_ops):]
+    # runtime-packed minimal sort keys (rowformat/pack.py); the iota and
+    # every carried payload operand ride the sort for free
+    sorted_planes, sorted_extras = rp.sort_by_planes(
+        planes, cap, length, [iota] + key_ops + agg_ops)
+    sorted_keys = sorted_extras[1 : 1 + len(key_ops)]
+    sorted_aggs = sorted_extras[1 + len(key_ops):]
 
     live = iota < jnp.int32(length)  # sorted: live rows first
     boundary = jnp.zeros(cap, dtype=jnp.bool_)

@@ -119,14 +119,20 @@ def _group_index(planes: List[jax.Array], valid: jax.Array):
     arrow-ord/src/partition.rs:127 applied to build keys: equal keys are
     adjacent after the sort, group boundaries are plane inequality with
     the previous row."""
+    from ..rowformat import pack as rp
+
     cap = valid.shape[0]
-    pad = (~valid).astype(jnp.uint32)  # invalid rows sort last
     iota = jnp.arange(cap, dtype=jnp.int32)
-    operands = [pad] + list(planes) + [iota]
-    out = jax.lax.sort(operands, dimension=0, is_stable=True,
-                       num_keys=len(operands) - 1)
-    order = out[-1]
-    sorted_keys = out[:-1]  # pad plane + value planes, already sorted
+    sorted_planes, sorted_extras = rp.sort_by_planes(
+        list(planes), cap, None, [iota], live=valid)
+    order = sorted_extras[0]
+    # boundary detection also needs the valid/invalid split: after the
+    # sort the first n_live rows are the valid ones, so the pad plane is
+    # simply pos >= n_live
+    n_live = jnp.sum(valid.astype(jnp.int32))
+    sorted_pad = (jnp.arange(cap, dtype=jnp.int32) >= n_live).astype(
+        jnp.uint32)
+    sorted_keys = [sorted_pad] + sorted_planes
     pos = jnp.arange(cap, dtype=jnp.int32)
     neq_prev = jnp.concatenate([jnp.ones(1, jnp.bool_),
                                 jnp.zeros(cap - 1, jnp.bool_)])

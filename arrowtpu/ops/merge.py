@@ -61,13 +61,12 @@ def merge_indices(columns_per_source: Sequence[Sequence[col.Column]],
         seg = bm.row_mask_bool(cap_i, cs[0].length)
         live = live.at[off:off + cap_i].set(seg)
         off += cap_i
-    pad = (~live).astype(jnp.uint32)
     iota = jnp.arange(total_cap, dtype=jnp.int32)
-    import jax
+    from ..rowformat import pack as rp
 
-    out = jax.lax.sort([pad] + all_planes + [iota], dimension=0,
-                       is_stable=True, num_keys=len(all_planes) + 1)
-    perm = out[-1]
+    _, extras = rp.sort_by_planes(all_planes, total_cap, None, [iota],
+                                  live=live)
+    perm = extras[0]
 
     bounds = jnp.cumsum(jnp.array(caps, dtype=jnp.int32))
     src = jnp.searchsorted(bounds, perm, side="right").astype(jnp.int32)

@@ -28,17 +28,17 @@ from ..core import batch as bt
 from ..core import bitmap as bm
 from ..core import column as col
 from ..rowformat import encode as rf
+from ..rowformat import pack as rp
 from .take import take
 
 
 def _sorted_iota(planes: List[jax.Array], capacity: int, length) -> jax.Array:
-    """Stable-sort row ids by (padding, *planes)."""
-    pad = rf.padding_plane(capacity, length)
+    """Stable-sort row ids by (padding, *planes) — via runtime-packed
+    minimal key words (rowformat/pack.py; the TPU-native replacement for
+    the reference's row-format radix sort, arrow-row/src/lib.rs:17-23)."""
     iota = jnp.arange(capacity, dtype=jnp.int32)
-    operands = [pad] + planes + [iota]
-    out = jax.lax.sort(operands, dimension=0, is_stable=True,
-                       num_keys=len(operands) - 1)
-    return out[-1]
+    _, extras = rp.sort_by_planes(planes, capacity, length, [iota])
+    return extras[0]
 
 
 def sort_to_indices(c: col.Column, options: SortOptions = SortOptions(),
@@ -100,8 +100,9 @@ def rank(c: col.Column, options: SortOptions = SortOptions()) -> col.PrimitiveCo
     of their last member (rank of [1,2,2,3] -> [1,3,3,4])."""
     cap = c.capacity
     planes = rf.encode_column(c, options)
-    idx = _sorted_iota(planes, cap, c.length)
-    sorted_planes = [p[idx] for p in planes]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    sorted_planes, extras = rp.sort_by_planes(planes, cap, c.length, [iota])
+    idx = extras[0]
     pos = jnp.arange(cap, dtype=jnp.int32)
     neq_next = jnp.zeros(cap, dtype=jnp.bool_)
     for p in sorted_planes:

@@ -42,6 +42,8 @@ def _to_days_and_subsec_ns(c: col.PrimitiveColumn):
     if isinstance(dt, (st.Timestamp, st.Duration)):
         unit_ns = _UNIT_NS[dt.unit]
         ns = _i64_scale(c.values, unit_ns, 1)
+        if isinstance(dt, st.Timestamp) and dt.tz:
+            ns = _apply_tz(ns, dt.tz)
         day_ns = 86_400_000_000_000
         days_l = _i64_scale(ns, 1, day_ns, floor=True)
         days = wd.to_int32_wrap(days_l)
@@ -52,6 +54,27 @@ def _to_days_and_subsec_ns(c: col.PrimitiveColumn):
         vals = c.values if c.wide is not None else wd.from_int32(c.values)
         return jnp.zeros(c.capacity, jnp.int32), _i64_scale(vals, unit_ns, 1)
     raise st.ComputeError(f"date_part: not a temporal column ({dt})")
+
+
+def _apply_tz(ns_utc, tz: str):
+    """UTC instant (i64 ns limbs) -> local wall-clock ns for extraction
+    (reference arrow-array/src/timezone.rs + temporal.rs date_part on
+    tz-aware timestamps).
+
+    TPU-native: the zone's transition list (ops/tzdb.py, TZif from host
+    tzdata) becomes  offset(t) = base + sum_i delta_i * [t_sec >= T_i],
+    a fused elementwise pass over ~10-250 transition constants — exact at
+    transition edges (the comparison is on whole UTC seconds, which is
+    the granularity TZif transitions are defined at), no device gather."""
+    from . import tzdb
+
+    base, times, deltas = tzdb.offsets_for(tz)
+    sec = _i64_scale(ns_utc, 1, 10**9, floor=True)
+    off = jnp.full(sec.shape[:-1], base, jnp.int32)
+    for t, d in zip(times.tolist(), deltas.tolist()):
+        ge = ~wd.lt_signed(sec, jnp.broadcast_to(_const_limbs(t), sec.shape))
+        off = off + jnp.where(ge, jnp.int32(d), jnp.int32(0))
+    return wd.add(ns_utc, _i64_scale(wd.from_int32(off), 10**9, 1))
 
 
 def _civil_from_days(z):

@@ -194,3 +194,39 @@ def test_confluent_roundtrip():
     enc = avro.encode_confluent({"k": "v"}, sjson, schema_id=123)
     sid, row = avro.decode_confluent(enc, sjson)
     assert sid == 123 and row == {"k": "v"}
+
+
+def test_parsing_canonical_form_fullnames():
+    """Spec PCF: fullname resolution (namespace attribute + enclosing
+    namespace inheritance + short-name references), attribute stripping,
+    key ordering (round-3 advisor finding)."""
+    import json
+
+    from arrowtpu.formats.avro import _parsing_canonical_form as pcf
+
+    s = json.dumps({
+        "type": "record", "name": "Rec", "namespace": "org.example",
+        "doc": "x",
+        "fields": [
+            {"name": "a", "type": "int", "default": 0},
+            {"name": "b", "type": {"type": "record", "name": "Inner",
+                                   "fields": [{"name": "c",
+                                               "type": "long"}]}},
+            {"name": "d", "type": "Inner"},
+            {"name": "e", "type": {"type": "fixed", "name": "F16",
+                                   "size": 16}},
+            {"name": "f", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "g", "type": ["null", "string"]},
+        ]})
+    got = pcf(s)
+    assert '"name":"org.example.Rec"' in got
+    assert '"name":"org.example.Inner"' in got
+    assert '"type":"org.example.Inner"' in got      # reference resolved
+    assert '"name":"org.example.F16"' in got
+    assert "namespace" not in got and "doc" not in got \
+        and "default" not in got
+    assert '{"name":"f","type":"int"}' in got       # logicalType stripped
+    assert pcf('"int"') == '"int"'
+    assert pcf('{"type":"int"}') == '"int"'
+    assert pcf('{"type":"array","items":"int","x":1}') \
+        == '{"type":"array","items":"int"}'

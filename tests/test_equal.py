@@ -162,3 +162,27 @@ def test_jit_traceable(rng):
         return equal_columns(x, y)
 
     assert bool(f(a, b))
+
+
+def test_list_equality_past_gather_chunk():
+    """Round-3 advisor finding: lists with equal sizes differing only
+    beyond element 4095 must compare UNEQUAL (the old static cap silently
+    truncated the comparison)."""
+    import jax.numpy as jnp
+
+    from arrowtpu.core import column as col
+
+    n_child = 8192
+    child_a = at.primitive(np.arange(n_child), at.schema.int32,
+                           length=n_child)
+    vals_b = np.arange(n_child)
+    vals_b[5000] += 1
+    child_b = at.primitive(vals_b, at.schema.int32, length=n_child)
+    starts = jnp.zeros(128, jnp.int32)
+    sizes = jnp.full(128, n_child, jnp.int32)
+    dt = st.List(st.Field("item", st.int32))
+    la = col.ListViewColumn(starts, sizes, child_a, None, 1, dt)
+    lb = col.ListViewColumn(starts, sizes, child_b, None, 1, dt)
+    assert not bool(equal_columns(la, lb))
+    lb2 = col.ListViewColumn(starts, sizes, child_a, None, 1, dt)
+    assert bool(equal_columns(la, lb2))

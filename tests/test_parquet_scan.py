@@ -224,3 +224,22 @@ def test_overlapped_scan_wall_clock():
     serial = decode_t + n_batches * per_rg  # no-overlap wall clock
     # require a measurable overlap benefit (bounded by min(decode, compute))
     assert overlapped < serial * 0.8, (overlapped, serial, decode_t)
+
+
+def test_abandoned_overlapped_scan_releases_producer():
+    """Round-3 advisor finding: abandoning the generator must not leave
+    the producer thread blocked forever on the bounded queue."""
+    import threading
+    import time
+
+    b = at.record_batch({"x": at.primitive(np.arange(50_000),
+                                           at.schema.int64, length=50_000)})
+    buf = pq.write_parquet([b] * 6, row_group_size=50_000)
+    before = threading.active_count()
+    gen = ps.scan_batches_overlapped(buf, prefetch=1)
+    next(gen)
+    gen.close()  # GeneratorExit in the generator frame
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

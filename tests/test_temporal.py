@@ -126,3 +126,38 @@ def test_under_jit(rng):
     c = from_pyarrow(arr)
     got = jax.jit(lambda x: T.date_part(x, "year"))(c)
     assert got.to_pylist() == pc.year(arr).to_pylist()
+
+
+class TestTimezoneAware:
+    """Timestamp.tz honored by date_part (reference
+    arrow-array/src/timezone.rs + arrow-arith/src/temporal.rs:207;
+    round-3 verdict missing #5).  Oracle: pyarrow.compute."""
+
+    @pytest.mark.parametrize("tz", ["America/New_York", "Asia/Kolkata",
+                                    "UTC", "+05:30",
+                                    "Australia/Lord_Howe"])
+    def test_date_part_matches_pyarrow(self, tz):
+        pa = pytest.importorskip("pyarrow")
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        ts = rng.integers(-600_000_000, 2_050_000_000, n)
+        # DST edge instants (America/New_York 2024 spring/fall)
+        ts[:4] = [1710054000 - 1, 1710054000, 1730613600 - 1, 1730613600]
+        ts_us = ts.astype("int64") * 1_000_000 + rng.integers(0, 10**6, n)
+        c = at.primitive(ts_us, st.Timestamp("us", tz), length=n)
+        arr = pa.array(ts_us, pa.timestamp("us", tz))
+        for part, pafn in [("year", pc.year), ("month", pc.month),
+                           ("day", pc.day), ("hour", pc.hour),
+                           ("minute", pc.minute), ("second", pc.second)]:
+            got = np.asarray(T.date_part(c, part).to_pylist())
+            want = pafn(arr).to_numpy().astype(np.int64)
+            assert np.array_equal(got.astype(np.int64), want), \
+                f"{tz} {part}"
+
+    def test_unknown_tz_raises(self):
+        c = at.primitive(np.arange(10, dtype=np.int64),
+                         st.Timestamp("s", "Not/AZone"), length=10)
+        with pytest.raises(st.ArrowTpuError):
+            T.date_part(c, "hour")
