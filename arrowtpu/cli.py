@@ -136,6 +136,41 @@ def cmd_bench(args):
     )
 
 
+def cmd_json_integration(args):
+    """Mirror of the reference's arrow-json-integration-test binary
+    (arrow-integration-testing/src/bin/arrow-json-integration-test.rs):
+    JSON-to-ARROW, ARROW-to-JSON, and VALIDATE modes over the archery
+    JSON test format (integration.py) and the IPC file format."""
+    from . import integration as ig
+    from .formats import ipc
+    from .ops.equal import equal_batches
+
+    mode = args.mode.upper()
+    if mode == "JSON_TO_ARROW":
+        _, batches = ig.read_json_file(args.json)
+        with open(args.arrow, "wb") as f:
+            f.write(ipc.write_file(batches))
+        print(f"wrote {args.arrow}")
+    elif mode == "ARROW_TO_JSON":
+        with open(args.arrow, "rb") as f:
+            batches = ipc.read_file(f.read())
+        ig.write_json_file(batches, args.json)
+        print(f"wrote {args.json}")
+    elif mode == "VALIDATE":
+        _, jb = ig.read_json_file(args.json)
+        with open(args.arrow, "rb") as f:
+            ab = ipc.read_file(f.read())
+        if len(jb) != len(ab):
+            raise SystemExit(
+                f"batch count mismatch: json={len(jb)} arrow={len(ab)}")
+        for i, (x, y) in enumerate(zip(jb, ab)):
+            if not bool(equal_batches(x, y)):
+                raise SystemExit(f"batch {i} differs")
+        print("validation OK")
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="arrowtpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,6 +188,12 @@ def main(argv=None):
     sp = sub.add_parser("bench")
     sp.add_argument("--rows", type=int, default=1 << 20)
     sp.set_defaults(fn=cmd_bench)
+    sp = sub.add_parser("json-integration")
+    sp.add_argument("--mode", required=True,
+                    help="JSON_TO_ARROW | ARROW_TO_JSON | VALIDATE")
+    sp.add_argument("--json", required=True)
+    sp.add_argument("--arrow", required=True)
+    sp.set_defaults(fn=cmd_json_integration)
     args = p.parse_args(argv)
     args.fn(args)
 

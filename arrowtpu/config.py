@@ -27,6 +27,15 @@ jax.config.update("jax_enable_x64", True)
 # tile-aligned capacities with an explicit row_count.
 CAPACITY_GRANULE = 128
 
+# Dense-range GROUP BY fast path (ops/groupby.py): bucket count for the
+# perfect-hash aggregate.  256 compiles in seconds on the TPU backend; the
+# CPU test mesh overrides via env (XLA:CPU compiles the per-bucket
+# reduction loop ~25x slower).
+import os as _os
+
+DENSE_GROUPBY_BUCKETS = int(
+    _os.environ.get("ARROWTPU_DENSE_GROUPBY_BUCKETS", "256"))
+
 # The Pallas selection kernel (pallas/compact.py) walks planes in tiles of
 # this many words; columns at least this long get their capacity padded to a
 # tile multiple so the kernel applies without re-padding (pallas/compact.py

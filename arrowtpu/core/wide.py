@@ -137,6 +137,72 @@ def mul(a, b):
     return make(l, h)
 
 
+# ---------------------------------------------------------------------------
+# tuple kernels: (lo, hi) pairs of (n,) u32 planes.
+#
+# Multi-step arithmetic must NOT round-trip through the (n, 2) stacked
+# form between steps: measured on v5e (scripts/prof_wide.py), the
+# constant-divisor divmod chain costs 5.47 ms at 8M rows when every
+# intermediate is make()-stacked vs 1.10 ms for identical math on
+# separate (n,) planes — XLA materializes the stacks and the minor-dim-2
+# layout wastes lanes.  Public entry points split once, compute on
+# tuples, and stack once at the end.
+# ---------------------------------------------------------------------------
+
+
+def _add_t(a, b):
+    l = a[0] + b[0]
+    return l, a[1] + b[1] + (l < a[0]).astype(U32)
+
+
+def _sub_t(a, b):
+    return a[0] - b[0], a[1] - b[1] - (a[0] < b[0]).astype(U32)
+
+
+def _neg_t(a):
+    l = ~a[0] + U32(1)
+    return l, ~a[1] + (a[0] == 0).astype(U32)
+
+
+def _lt_u_t(a, b):
+    return (a[1] < b[1]) | ((a[1] == b[1]) & (a[0] < b[0]))
+
+
+def _where_t(c, a, b):
+    return jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1])
+
+
+def _mul_t(a, b):
+    l, c = _mul32x32(a[0], b[0])
+    return l, c + a[1] * b[0] + a[0] * b[1]
+
+
+def _mulhi64_t(a, b):
+    """High 64 bits of the 128-bit product (tuple form of mulhi64)."""
+    p0l, p0h = _mul32x32(a[0], b[0])
+    del p0l
+    p1l, p1h = _mul32x32(a[0], b[1])
+    p2l, p2h = _mul32x32(a[1], b[0])
+    p3l, p3h = _mul32x32(a[1], b[1])
+    t1 = p0h + p1l
+    c1 = (t1 < p0h).astype(U32)
+    t1b = t1 + p2l
+    c1 = c1 + (t1b < t1).astype(U32)
+    t2 = p1h + p2h
+    c2 = (t2 < p1h).astype(U32)
+    t2b = t2 + p3l
+    c2 = c2 + (t2b < t2).astype(U32)
+    t2c = t2b + c1
+    c2 = c2 + (t2c < t2b).astype(U32)
+    return t2c, p3h + c2
+
+
+def _const_t(v: int, shape):
+    v &= (1 << 64) - 1
+    return (jnp.broadcast_to(U32(v & 0xFFFFFFFF), shape),
+            jnp.broadcast_to(U32(v >> 32), shape))
+
+
 def and_(a, b):
     return make(lo(a) & lo(b), hi(a) & hi(b))
 
@@ -266,49 +332,68 @@ def mulhi64(a, b):
     return make(t2c, p3h + c2)
 
 
-def divmod_unsigned_const(a, d: int):
-    """Exact (a // d, a % d) for u64 limb pairs and a CONSTANT python-int
-    divisor — one multiply-high + <=2 corrections instead of the 64-round
-    shift/subtract loop (the reference relies on LLVM doing the same
-    strength reduction for its native i64 kernels)."""
-    shape = lo(a).shape
+def _divmod_unsigned_const_t(a, d: int):
+    """Tuple form: exact (a // d, a % d) for u64 (lo, hi) planes and a
+    CONSTANT python-int divisor — one multiply-high + <=2 corrections
+    instead of the 64-round shift/subtract loop (the reference relies on
+    LLVM doing the same strength reduction for native i64 kernels)."""
+    shape = a[0].shape
     if d <= 0:
         raise ValueError("divisor must be positive")
     if d == 1:
-        return a, zeros(shape)
+        z = jnp.zeros(shape, U32)
+        return a, (z, z)
     if d & (d - 1) == 0:
         k = d.bit_length() - 1
-        q = shr(a, jnp.full(shape, k, U32))
-        r = and_(a, jnp.broadcast_to(
-            jnp.asarray(from_scalar(d - 1)), a.shape))
-        return q, r
+        if k == 0:
+            q = a
+        elif k < 32:
+            q = ((a[0] >> U32(k)) | (a[1] << U32(32 - k)),
+                 a[1] >> U32(k))
+        elif k == 32:
+            q = (a[1], jnp.zeros(shape, U32))
+        else:
+            q = (a[1] >> U32(k - 32), jnp.zeros(shape, U32))
+        mlo, mhi = _const_t(d - 1, shape)
+        return q, (a[0] & mlo, a[1] & mhi)
     m = (1 << 64) // d                     # floor(2^64 / d), < 2^64
-    mL = jnp.broadcast_to(jnp.asarray(
-        np.array([m & 0xFFFFFFFF, m >> 32], np.uint32)), a.shape)
-    dL = jnp.broadcast_to(jnp.asarray(
-        np.array([d & 0xFFFFFFFF, (d >> 32) & 0xFFFFFFFF], np.uint32)),
-        a.shape)
-    q = mulhi64(a, mL)
-    r = sub(a, mul(q, dL))
+    mC = _const_t(m, shape)
+    dC = _const_t(d, shape)
+    q = _mulhi64_t(a, mC)
+    r = _sub_t(a, _mul_t(q, dC))
+    one = _const_t(1, shape)
     for _ in range(2):                     # q_est >= q - 2
-        ge = ~lt_unsigned(r, dL)
-        q = jnp.where(ge[..., None], add(q, jnp.asarray(from_scalar(1))), q)
-        r = jnp.where(ge[..., None], sub(r, dL), r)
+        ge = ~_lt_u_t(r, dC)
+        q = _where_t(ge, _add_t(q, one), q)
+        r = _where_t(ge, _sub_t(r, dC), r)
+    return q, r
+
+
+def divmod_unsigned_const(a, d: int):
+    """(n, 2) wrapper over the tuple kernel (see tuple-kernels note)."""
+    q, r = _divmod_unsigned_const_t((lo(a), hi(a)), d)
+    return make(*q), make(*r)
+
+
+def _divmod_signed_const_t(a, d: int):
+    """Tuple form: truncated (a // d toward zero, a % d with dividend
+    sign) for i64 planes and a constant divisor (reference rem/div
+    semantics)."""
+    neg_d = d < 0
+    mag_d = -d if neg_d else d
+    na = (a[1] >> 31) != 0
+    mag_a = _where_t(na, _neg_t(a), a)
+    q, r = _divmod_unsigned_const_t(mag_a, mag_d)
+    qneg = na ^ neg_d
+    q = _where_t(qneg, _neg_t(q), q)
+    r = _where_t(na, _neg_t(r), r)
     return q, r
 
 
 def divmod_signed_const(a, d: int):
-    """Truncated (a // d toward zero, a % d with dividend sign) for i64
-    limb pairs and a constant divisor (reference rem/div semantics)."""
-    neg_d = d < 0
-    mag_d = -d if neg_d else d
-    na = is_negative(a)
-    mag_a = jnp.where(na[..., None], neg(a), a)
-    q, r = divmod_unsigned_const(mag_a, mag_d)
-    qneg = na ^ neg_d
-    q = jnp.where(qneg[..., None], neg(q), q)
-    r = jnp.where(na[..., None], neg(r), r)
-    return q, r
+    """(n, 2) wrapper over the tuple kernel (see tuple-kernels note)."""
+    q, r = _divmod_signed_const_t((lo(a), hi(a)), d)
+    return make(*q), make(*r)
 
 
 def _is_zero(a):

@@ -39,6 +39,7 @@ capacity with traced group-count length.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Sequence, Tuple
 
 import jax
@@ -168,7 +169,33 @@ def _column_operands(c: col.Column):
 def group_by(batch: bt.RecordBatch, keys: Sequence[str],
              aggs: Sequence[Tuple[str, str]]) -> bt.RecordBatch:
     """aggs: [(column_name, agg_name)] with agg in {sum,count,min,max,mean}.
-    Output columns: keys..., then '<agg>_<column>' per aggregate."""
+    Output columns: keys..., then '<agg>_<column>' per aggregate.
+
+    Two engines behind one API:
+      * dense-range fast path (_dense_group_by): when the single int key's
+        runtime range fits DENSE_BUCKETS, aggregation is per-bucket masked
+        reductions — XLA fuses the whole bucket loop into ~one pass over
+        the data (measured 0.05 ms for count+sum+min over 257 buckets x
+        8M rows on v5e, scripts/prof_dense.py), ~60x the sort pipeline.
+        This is the TPU-native form of a perfect-hash aggregate.
+      * sort pipeline (_sort_group_by): the general path (multi-key,
+        strings, floats, decimals, wide ranges) — packed-key sort +
+        prefix-difference segment reductions.
+    The choice is a runtime lax.cond on the key range; eligibility for
+    the dense branch is decided statically from the schema."""
+    keys = tuple(keys)
+    aggs = tuple((str(n), str(a)) for n, a in aggs)
+    if _dense_eligible(batch, keys, aggs):
+        # jit the dispatcher: the dense branch is ~1000 tiny per-bucket
+        # reductions that fuse beautifully under XLA but would be ~1000
+        # separate dispatches eagerly.  Nested jit is fine (inlined when
+        # already tracing).
+        return _group_by_dispatch_jit(batch, keys=keys, aggs=aggs)
+    return _sort_group_by(batch, keys, aggs)
+
+
+def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
+                   aggs: Sequence[Tuple[str, str]]) -> bt.RecordBatch:
     key_cols = [batch[k] for k in keys]
     cap = batch.capacity
     length = batch.length
@@ -233,17 +260,354 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
             out_fields.append(st.Field(k, c.dtype))
             out_cols.append(rb(key_starts[off : off + nops], num_groups))
 
+    cnt_cache: dict = {}  # per agg column: (cnt, has, has_v) computed once
     for name, agg in aggs:
         if agg not in AGGS:
             raise st.ComputeError(f"unknown aggregate {agg!r}")
         a, b = agg_slices[name]
         ok_sorted = (sorted_aggs[a] != 0) & live
         val_ops = sorted_aggs[a + 1 : b]
-        agg_col = _segment_agg(batch[name], ctx, agg, ok_sorted, val_ops)
+        if name not in cnt_cache:
+            (cnt,) = _group_sums_of(
+                [jnp.cumsum(ok_sorted.astype(U32), dtype=U32)], ctx)
+            cnt = cnt.astype(jnp.int32)
+            has = cnt > 0
+            cnt_cache[name] = (cnt, has, bm.pack(has))
+        agg_col = _segment_agg(batch[name], ctx, agg, ok_sorted, val_ops,
+                               cnt_cache[name])
         out_fields.append(st.Field(f"{agg}_{name}", agg_col.dtype))
         out_cols.append(agg_col)
 
     return bt.RecordBatch(st.Schema(tuple(out_fields)), tuple(out_cols))
+
+
+# ---------------------------------------------------------------------------
+# dense-range fast path (perfect-hash aggregate, TPU-native form)
+# ---------------------------------------------------------------------------
+
+from ..config import DENSE_GROUPBY_BUCKETS as DENSE_BUCKETS
+
+
+def _dense_eligible(batch: bt.RecordBatch, keys, aggs) -> bool:
+    """Static schema check: single narrow-int key; int (narrow or 64-bit
+    limb) aggregate values.  Floats/decimals/strings use the sort path."""
+    if len(keys) != 1:
+        return False
+    kc = batch[keys[0]]
+    if not isinstance(kc, col.PrimitiveColumn) or kc.values.ndim != 1:
+        return False
+    if not jnp.issubdtype(kc.values.dtype, jnp.integer):
+        return False
+    if st.decimal_limbs(kc.dtype) is not None or isinstance(
+            kc.dtype, (st.FixedSizeBinary, st.Interval)):
+        return False
+    for name, agg in aggs:
+        if agg not in AGGS:
+            return False
+        c = batch[name]
+        if not isinstance(c, col.PrimitiveColumn):
+            return False
+        if st.decimal_limbs(c.dtype) is not None or isinstance(
+                c.dtype, (st.FixedSizeBinary, st.Interval)):
+            return False
+        if c.values.ndim == 2:
+            if c.wide not in ("i64", "u64"):
+                return False
+        elif not jnp.issubdtype(c.values.dtype, jnp.integer):
+            return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("keys", "aggs"))
+def _group_by_dispatch_jit(batch, keys, aggs) -> bt.RecordBatch:
+    return _group_by_dispatch(batch, keys, aggs)
+
+
+def _group_by_dispatch(batch, keys, aggs) -> bt.RecordBatch:
+    kc = batch[keys[0]]
+    cap = batch.capacity
+    live = bm.row_mask_bool(cap, batch.length)
+    kvalid = live if kc.validity is None else (kc.valid_bool() & live)
+    kv = kc.values
+    info = jnp.iinfo(kv.dtype)
+    kmin = jnp.min(jnp.where(kvalid, kv, info.max))
+    kmax = jnp.max(jnp.where(kvalid, kv, info.min))
+    nullable = kc.validity is not None  # static
+    n_value_buckets = DENSE_BUCKETS - (1 if nullable else 0)
+    rng = kmax.astype(jnp.int64) - kmin.astype(jnp.int64)
+    dense_ok = rng < jnp.int64(n_value_buckets)
+
+    fields = _dense_out_schema(batch, keys, aggs)
+
+    out_cols = jax.lax.cond(
+        dense_ok,
+        lambda op: _dense_group_by(op[0], keys, aggs, op[1]),
+        lambda op: tuple(_sort_group_by(op[0], keys, aggs).columns),
+        (batch, kmin),
+    )
+    return bt.RecordBatch(fields, out_cols)
+
+
+def _dense_out_schema(batch, keys, aggs) -> st.Schema:
+    """Static output schema for dense-eligible group-bys (must mirror the
+    sort path's column dtypes exactly — the lax.cond branches share it)."""
+    kc = batch[keys[0]]
+    fields = [st.Field(keys[0], kc.dtype)]
+    for name, agg in aggs:
+        c = batch[name]
+        if agg == "count":
+            dt = st.int64
+        elif agg == "mean":
+            dt = st.float64
+        elif c.values.ndim == 2:  # wide i64/u64 sum/min/max
+            dt = c.dtype
+        else:
+            dt = st.from_jnp(c.values.dtype)
+        fields.append(st.Field(f"{agg}_{name}", dt))
+    return st.Schema(tuple(fields))
+
+
+def _place(small, present, pos, cap, dtype=None):
+    """Scatter (NB,) per-bucket results into a (cap,) dense output
+    (bucket order = key order; absent buckets dropped)."""
+    out_shape = (cap,) + tuple(small.shape[1:])
+    out = jnp.zeros(out_shape, small.dtype if dtype is None else dtype)
+    return out.at[pos].set(small.astype(out.dtype), mode="drop")
+
+
+def _dense_group_by(batch, keys, aggs, kmin):
+    kc = batch[keys[0]]
+    cap = batch.capacity
+    live = bm.row_mask_bool(cap, batch.length)
+    nullable = kc.validity is not None
+    off = 1 if nullable else 0
+    NB = DENSE_BUCKETS
+    kv = kc.values
+
+    if jnp.issubdtype(kv.dtype, jnp.unsignedinteger):
+        diff = (kv.astype(jnp.uint32) - kmin.astype(jnp.uint32)).astype(
+            jnp.int32)
+    else:
+        diff = kv.astype(jnp.int32) - kmin.astype(jnp.int32)
+    kvalid = live if kc.validity is None else (kc.valid_bool() & live)
+    bucket = jnp.full(cap, -1, jnp.int32)
+    bucket = jnp.where(kvalid, diff + off, bucket)
+    if nullable:
+        bucket = jnp.where(live & ~kc.valid_bool(), 0, bucket)
+
+    w = _chunk_bits(cap)
+    nchunk = 32 // w
+    cmask = U32((1 << w) - 1)
+
+    # precompute per-column device operands (shared across buckets)
+    agg_names = sorted({name for name, _ in aggs})
+    prep = {}
+    for name in agg_names:
+        c = batch[name]
+        ok = live if c.validity is None else (c.valid_bool() & live)
+        d = {"ok": ok, "col": c}
+        if c.values.ndim == 2:  # wide i64/u64
+            lo_p, hi_p = c.values[:, 0], c.values[:, 1]
+            d["lo_chunks"] = [(lo_p >> U32(w * k)) & cmask
+                              for k in range(nchunk)]
+            d["hi_chunks"] = [(hi_p >> U32(w * k)) & cmask
+                              for k in range(nchunk)]
+            if c.wide == "i64":
+                d["ph"], d["pl"] = hi_p ^ U32(0x80000000), lo_p
+            else:
+                d["ph"], d["pl"] = hi_p, lo_p
+        else:
+            signed = jnp.issubdtype(c.values.dtype, jnp.signedinteger)
+            words = (c.values.astype(jnp.int32).astype(U32) if signed
+                     else c.values.astype(U32))
+            d["words"] = words
+            d["signed"] = signed
+            d["chunks"] = [(words >> U32(w * k)) & cmask
+                           for k in range(nchunk)]
+            d["neg"] = (words >> 31) != 0
+            d["plane"] = words ^ U32(0x80000000) if signed else words
+        prep[name] = d
+
+    needs = {}  # name -> set of quantities needed
+    for name, agg in aggs:
+        s = needs.setdefault(name, set())
+        s.add(agg)
+
+    # -------- per-bucket masked reductions (XLA fuses the loop) ---------
+    rows_l = []
+    acc = {name: {"cnt": [], "chunks": [[] for _ in range(nchunk)],
+                  "hi_chunks": [[] for _ in range(nchunk)], "neg": [],
+                  "mn_h": [], "mn_l": [], "mx_h": [], "mx_l": [],
+                  "mn": [], "mx": []}
+           for name in agg_names}
+    for b in range(NB):
+        m = bucket == b
+        rows_l.append(jnp.sum(m, dtype=jnp.int32))
+        for name in agg_names:
+            d = prep[name]
+            want = needs[name]
+            okm = m & d["ok"]
+            a = acc[name]
+            a["cnt"].append(jnp.sum(okm, dtype=jnp.int32))
+            wide = "chunks" not in d
+            if want & {"sum", "mean"}:
+                if wide:
+                    for k in range(nchunk):
+                        a["chunks"][k].append(jnp.sum(
+                            jnp.where(okm, d["lo_chunks"][k], U32(0)),
+                            dtype=U32))
+                        a["hi_chunks"][k].append(jnp.sum(
+                            jnp.where(okm, d["hi_chunks"][k], U32(0)),
+                            dtype=U32))
+                else:
+                    for k in range(nchunk):
+                        a["chunks"][k].append(jnp.sum(
+                            jnp.where(okm, d["chunks"][k], U32(0)),
+                            dtype=U32))
+                    a["neg"].append(jnp.sum(okm & d["neg"],
+                                            dtype=jnp.int32))
+            if want & {"min", "max"}:
+                if wide:
+                    if "min" in want:
+                        h = jnp.min(jnp.where(okm, d["ph"],
+                                              U32(0xFFFFFFFF)))
+                        a["mn_h"].append(h)
+                        a["mn_l"].append(jnp.min(jnp.where(
+                            okm & (d["ph"] == h), d["pl"],
+                            U32(0xFFFFFFFF))))
+                    if "max" in want:
+                        h = jnp.max(jnp.where(okm, d["ph"], U32(0)))
+                        a["mx_h"].append(h)
+                        a["mx_l"].append(jnp.max(jnp.where(
+                            okm & (d["ph"] == h), d["pl"], U32(0))))
+                else:
+                    if "min" in want:
+                        a["mn"].append(jnp.min(jnp.where(
+                            okm, d["plane"], U32(0xFFFFFFFF))))
+                    if "max" in want:
+                        a["mx"].append(jnp.max(jnp.where(
+                            okm, d["plane"], U32(0))))
+
+    rows = jnp.stack(rows_l)
+    present = rows > 0
+    num_groups = jnp.sum(present.astype(jnp.int32))
+    pos = jnp.where(present,
+                    jnp.cumsum(present.astype(jnp.int32)) - 1, cap)
+
+    # -------- assemble output columns ----------------------------------
+    out_cols = []
+    # key column
+    ids = jnp.arange(NB, dtype=jnp.int64)
+    kvals = kmin.astype(jnp.int64) + (ids - off)
+    if nullable:
+        kvals = jnp.where(ids == 0, jnp.int64(0), kvals)
+    kvals_small = kvals.astype(kc.values.dtype)
+    key_out = _place(kvals_small, present, pos, cap)
+    if nullable:
+        kval_bool = jnp.zeros(cap, jnp.bool_).at[pos].set(
+            ids != 0, mode="drop")
+        key_validity = bm.pack(kval_bool)
+    else:
+        key_validity = None
+    out_cols.append(col.PrimitiveColumn(
+        key_out, key_validity, num_groups, kc.dtype))
+
+    for name, agg in aggs:
+        c = batch[name]
+        d = prep[name]
+        a = acc[name]
+        wide = "chunks" not in d
+        cnt = jnp.stack(a["cnt"])
+        has = cnt > 0
+        has_out = jnp.zeros(cap, jnp.bool_).at[pos].set(has, mode="drop")
+        has_v = bm.pack(has_out)
+        if agg == "count":
+            out_cols.append(col.PrimitiveColumn(
+                wd.from_int32(_place(cnt, present, pos, cap)), None,
+                num_groups, st.int64))
+            continue
+        if agg in ("sum", "mean"):
+            if wide:
+                lo64 = wd.zeros((NB,))
+                for k in range(nchunk):
+                    s = jnp.stack(a["chunks"][k])
+                    sh = w * k
+                    lo_w = s << U32(sh) if sh else s
+                    hi_w = (s >> U32(32 - sh)) if sh else jnp.zeros_like(s)
+                    lo64 = wd.add(lo64, wd.make(lo_w, hi_w))
+                hi32 = jnp.zeros(NB, U32)
+                for k in range(nchunk):
+                    hi32 = hi32 + (jnp.stack(a["hi_chunks"][k])
+                                   << U32(w * k))
+                total = wd.make(wd.lo(lo64), wd.hi(lo64) + hi32)
+                if agg == "sum":
+                    out_cols.append(col.PrimitiveColumn(
+                        _place(total, present, pos, cap), has_v,
+                        num_groups, c.dtype))
+                else:
+                    fv = (wd.i64_to_float(total) if c.wide == "i64"
+                          else wd.u64_to_float(total))
+                    mean = fv / jnp.maximum(cnt, 1).astype(jnp.float64)
+                    out_cols.append(col.PrimitiveColumn(
+                        _place(wd.f64_from_value(mean), present, pos,
+                               cap), has_v, num_groups, st.float64))
+                continue
+            # narrow
+            lo = jnp.zeros(NB, U32)
+            for k in range(nchunk):
+                lo = lo + (jnp.stack(a["chunks"][k]) << U32(w * k))
+            if agg == "sum":
+                dt = c.values.dtype
+                out = (lo.astype(jnp.int32).astype(dt) if d["signed"]
+                       else lo.astype(dt))
+                out_cols.append(col.PrimitiveColumn(
+                    _place(out, present, pos, cap), has_v, num_groups,
+                    st.from_jnp(dt)))
+            else:
+                # exact signed 64-bit sum: u64 of chunk sums minus
+                # (neg_count << 32) (see _segment_agg_narrow)
+                lo64 = wd.zeros((NB,))
+                for k in range(nchunk):
+                    s = jnp.stack(a["chunks"][k])
+                    sh = w * k
+                    lo_w = s << U32(sh) if sh else s
+                    hi_w = (s >> U32(32 - sh)) if sh else jnp.zeros_like(s)
+                    lo64 = wd.add(lo64, wd.make(lo_w, hi_w))
+                negc = (jnp.stack(a["neg"]).astype(U32) if d["signed"]
+                        else jnp.zeros(NB, U32))
+                full = wd.make(wd.lo(lo64), wd.hi(lo64) - negc)
+                fv = (wd.i64_to_float(full) if d["signed"]
+                      else wd.u64_to_float(full))
+                mean = fv / jnp.maximum(cnt, 1).astype(jnp.float64)
+                out_cols.append(col.PrimitiveColumn(
+                    _place(wd.f64_from_value(mean), present, pos, cap),
+                    has_v, num_groups, st.float64))
+            continue
+        # min / max
+        if wide:
+            bh = jnp.stack(a["mn_h"] if agg == "min" else a["mx_h"])
+            bl = jnp.stack(a["mn_l"] if agg == "min" else a["mx_l"])
+            if c.wide == "i64":
+                best = wd.make(bl, bh ^ U32(0x80000000))
+            else:
+                best = wd.make(bl, bh)
+            best = jnp.where(has[..., None], best, jnp.zeros_like(best))
+            out_cols.append(col.PrimitiveColumn(
+                _place(best, present, pos, cap), has_v, num_groups,
+                c.dtype))
+        else:
+            bp = jnp.stack(a["mn"] if agg == "min" else a["mx"])
+            if d["signed"]:
+                r = (bp ^ U32(0x80000000)).astype(jnp.int32).astype(
+                    c.values.dtype)
+            else:
+                r = bp.astype(c.values.dtype)
+            r = jnp.where(has, r, jnp.zeros_like(r))
+            out_cols.append(col.PrimitiveColumn(
+                _place(r, present, pos, cap), has_v, num_groups,
+                st.from_jnp(r.dtype)))
+
+    return tuple(out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -332,15 +696,18 @@ def _segment_minmax_planes(planes, ok, ctx: _Ctx, is_min: bool):
 
 
 def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
-                 val_ops: List[jax.Array]) -> col.Column:
+                 val_ops: List[jax.Array], cnt_has=None) -> col.Column:
     num_groups = ctx.num_groups
     wide_kind = c.wide if isinstance(c, col.PrimitiveColumn) else None
 
-    (cnt,) = _group_sums_of(
-        [jnp.cumsum(ok_sorted.astype(U32), dtype=U32)], ctx)
-    cnt = cnt.astype(jnp.int32)
-    has = cnt > 0
-    has_v = bm.pack(has)
+    if cnt_has is None:
+        (cnt,) = _group_sums_of(
+            [jnp.cumsum(ok_sorted.astype(U32), dtype=U32)], ctx)
+        cnt = cnt.astype(jnp.int32)
+        has = cnt > 0
+        has_v = bm.pack(has)
+    else:
+        cnt, has, has_v = cnt_has
 
     if agg == "count":
         return col.PrimitiveColumn(wd.from_int32(cnt), None, num_groups,

@@ -12,6 +12,10 @@ import os
 # plugin wins over the env var — the programmatic config update below is the
 # only override that actually works here.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA:CPU compiles the dense-range group-by's per-bucket reduction loop
+# ~25x slower than the TPU backend (136 s at 256 buckets); shrink the
+# bucket count on the CPU mesh — the code path is identical.
+os.environ.setdefault("ARROWTPU_DENSE_GROUPBY_BUCKETS", "32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -297,3 +297,79 @@ class TestAdversarialKeys:
                                   out_capacity=nb * npr)
         assert int(out.length) == nb * npr
         assert not bool(info.overflow)
+
+
+class TestDenseGroupBy:
+    """Dense-range fast path (perfect-hash aggregate) vs the sort
+    pipeline oracle.  On the CPU mesh DENSE_GROUPBY_BUCKETS=32
+    (conftest), so ranges < 32 take the dense branch at runtime."""
+
+    @pytest.mark.parametrize("nullkeys", [False, True])
+    @pytest.mark.parametrize("nullvals", [False, True])
+    def test_dense_matches_sort_pipeline(self, rng, nullkeys, nullvals):
+        from arrowtpu.ops import groupby as gb
+
+        n = 20_000
+        keys = rng.integers(-10, 15, n).astype(np.int32)  # range 25 < 32
+        vals64 = rng.integers(-2**40, 2**40, n)
+        vals32 = rng.integers(-1000, 1000, n).astype(np.int32)
+        kval = rng.random(n) > 0.1 if nullkeys else None
+        vval = rng.random(n) > 0.1 if nullvals else None
+        b = at.record_batch({
+            "k": at.primitive(
+                keys, at.schema.int32, length=n,
+                validity=at.bitmap.from_numpy_bools(kval)
+                if nullkeys else None),
+            "v": at.primitive(
+                vals64, at.schema.int64, length=n,
+                validity=at.bitmap.from_numpy_bools(vval)
+                if nullvals else None),
+            "w": at.primitive(
+                vals32, at.schema.int32, length=n,
+                validity=at.bitmap.from_numpy_bools(vval)
+                if nullvals else None),
+        })
+        aggs = [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"),
+                ("v", "mean"), ("w", "sum"), ("w", "min"), ("w", "mean")]
+        got = gb.group_by(b, ["k"], aggs)
+        want = gb._sort_group_by(b, ["k"], aggs)
+        assert tuple(got.schema.names) == tuple(want.schema.names)
+        for f in got.schema.fields:
+            assert got[f.name].to_pylist() == want[f.name].to_pylist(), \
+                f.name
+
+    def test_wide_range_takes_sort_branch(self, rng):
+        from arrowtpu.ops import groupby as gb
+
+        n = 5_000
+        keys = rng.integers(0, 10**6, n).astype(np.int32)
+        vals = rng.integers(-100, 100, n)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n),
+        })
+        got = gb.group_by(b, ["k"], [("v", "sum")])
+        uk = np.unique(keys)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, np.searchsorted(uk, keys), vals)
+        gk = np.asarray(got["k"].to_pylist())
+        gs = np.asarray(got["sum_v"].to_pylist())
+        o = np.argsort(gk)
+        assert np.array_equal(gk[o], uk)
+        assert np.array_equal(gs[o], sums)
+
+    def test_uint_key_dense(self, rng):
+        from arrowtpu.ops import groupby as gb
+
+        n = 10_000
+        keys = rng.integers(2**31, 2**31 + 20, n).astype(np.uint32)
+        vals = rng.integers(0, 100, n).astype(np.int32)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.uint32, length=n),
+            "v": at.primitive(vals, at.schema.int32, length=n),
+        })
+        got = gb.group_by(b, ["k"], [("v", "sum"), ("v", "count")])
+        want = gb._sort_group_by(b, ["k"], [("v", "sum"), ("v", "count")])
+        for f in got.schema.fields:
+            assert got[f.name].to_pylist() == want[f.name].to_pylist(), \
+                f.name
