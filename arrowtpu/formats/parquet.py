@@ -337,6 +337,11 @@ class WriterProperties:
     bloom_filter_fpp: float = 0.01
     write_page_index: bool = False
     column_encoding: Optional[Dict[str, str]] = None  # name -> encoding
+    # Parquet Modular Encryption (parquet_crypto.FileEncryptionProperties;
+    # reference encryption/encrypt.rs).  Page index + bloom filters are
+    # skipped for encrypted files (those modules' encryption is not
+    # implemented yet).
+    encryption: Optional[object] = None
 
 
 def _plain_encode(vals: np.ndarray, phys: int) -> bytes:
@@ -404,8 +409,11 @@ def _bytes_plain(starts, lens, data) -> bytes:
 
 
 def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
-                  nullable: bool = True, field_name: str = ""):
-    """Write one column chunk; returns ColumnMetaData fields."""
+                  nullable: bool = True, field_name: str = "",
+                  crypt=None, rg_idx: int = 0, col_ord: int = 0):
+    """Write one column chunk; returns ColumnMetaData fields.  `crypt` is
+    a (FileEncryptor, page_key) pair when this column's pages are
+    encrypted (parquet modular encryption)."""
     phys, conv = _physical(dt)
     codec = _CODEC_NAMES[props.compression]
     n = c.concrete_length()
@@ -544,28 +552,69 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     total_uncomp = 0
     data_page_offset = None
     page_locations = []  # (offset, compressed size incl header, first row)
-    for page in pages:
-        if page[0] == "dict":
-            _, payload, nvals = page
-            comp = _compress(codec, payload)
-            hdr = _page_header_dict(len(payload), len(comp), nvals)
-            if dict_page_offset is None:
-                dict_page_offset = out.tell()
-            out.write(hdr + comp)
-            total_uncomp += len(hdr) + len(payload)
-            total_comp += len(hdr) + len(comp)
-        else:
-            _, payload, nvals, enc = page[:4]
-            first_row = page[4] if len(page) > 4 else 0
-            comp = _compress(codec, payload)
-            hdr = _page_header_data(len(payload), len(comp), nvals, enc)
-            if data_page_offset is None:
-                data_page_offset = out.tell()
-            page_locations.append((out.tell(), len(hdr) + len(comp),
-                                   first_row))
-            out.write(hdr + comp)
-            total_uncomp += len(hdr) + len(payload)
-            total_comp += len(hdr) + len(comp)
+    if crypt is not None:
+        # modular encryption: header and body become separate GCM
+        # modules (parquet_crypto.write_encrypted_pages)
+        from . import parquet_crypto as pcx
+
+        enc_ctx, page_key = crypt
+        # spec: compressed_page_size of encrypted pages INCLUDES the
+        # ciphertext-module overhead (4-byte length + nonce + tag)
+        ov = pcx.SIZE_LEN + pcx.NONCE_LEN + pcx.TAG_LEN
+        emit = []
+        rows = []
+        for page in pages:
+            if page[0] == "dict":
+                _, payload, nvals = page
+                comp = _compress(codec, payload)
+                hdr = _page_header_dict(len(payload), len(comp) + ov, nvals)
+                emit.append((hdr, comp, True))
+                rows.append(None)
+                total_uncomp += len(hdr) + len(payload)
+            else:
+                _, payload, nvals, enc = page[:4]
+                first_row = page[4] if len(page) > 4 else 0
+                comp = _compress(codec, payload)
+                hdr = _page_header_data(len(payload), len(comp) + ov, nvals,
+                                        enc)
+                emit.append((hdr, comp, False))
+                rows.append(first_row)
+                total_uncomp += len(hdr) + len(payload)
+        offsets = pcx.write_encrypted_pages(
+            out, emit, page_key, enc_ctx.file_aad, rg_idx, col_ord)
+        for off, (hdr, comp, is_dict), first_row in zip(offsets, emit, rows):
+            if is_dict:
+                if dict_page_offset is None:
+                    dict_page_offset = off
+            else:
+                if data_page_offset is None:
+                    data_page_offset = off
+                page_locations.append((off, len(hdr) + len(comp),
+                                       first_row))
+        total_comp = out.tell() - start_offset
+    else:
+        for page in pages:
+            if page[0] == "dict":
+                _, payload, nvals = page
+                comp = _compress(codec, payload)
+                hdr = _page_header_dict(len(payload), len(comp), nvals)
+                if dict_page_offset is None:
+                    dict_page_offset = out.tell()
+                out.write(hdr + comp)
+                total_uncomp += len(hdr) + len(payload)
+                total_comp += len(hdr) + len(comp)
+            else:
+                _, payload, nvals, enc = page[:4]
+                first_row = page[4] if len(page) > 4 else 0
+                comp = _compress(codec, payload)
+                hdr = _page_header_data(len(payload), len(comp), nvals, enc)
+                if data_page_offset is None:
+                    data_page_offset = out.tell()
+                page_locations.append((out.tell(), len(hdr) + len(comp),
+                                       first_row))
+                out.write(hdr + comp)
+                total_uncomp += len(hdr) + len(payload)
+                total_comp += len(hdr) + len(comp)
 
     stats = None
     if props.statistics_enabled and phys in (P_I32, P_I64, P_FLOAT, P_DOUBLE):
@@ -595,7 +644,8 @@ def _bit_width(maxlevel: int) -> int:
     return max(1, int(np.ceil(np.log2(maxlevel + 1))))
 
 
-def _write_leaf_chunk(out, leaf, props: WriterProperties):
+def _write_leaf_chunk(out, leaf, props: WriterProperties,
+                      crypt=None, rg_idx: int = 0, col_ord: int = 0):
     """Write one nested-leaf column chunk: [rep levels][def levels][PLAIN
     values] (data page v1 level framing; reference column/writer/mod.rs
     write_mini_batch with levels)."""
@@ -619,7 +669,19 @@ def _write_leaf_chunk(out, leaf, props: WriterProperties):
     comp = _compress(codec, body)
     hdr = _page_header_data(len(body), len(comp), n_entries, E_PLAIN)
     start = out.tell()
-    out.write(hdr + comp)
+    if crypt is not None:
+        from . import parquet_crypto as pcx
+
+        enc_ctx, page_key = crypt
+        ov = pcx.SIZE_LEN + pcx.NONCE_LEN + pcx.TAG_LEN
+        hdr = _page_header_data(len(body), len(comp) + ov, n_entries,
+                                E_PLAIN)
+        pcx.write_encrypted_pages(out, [(hdr, comp, False)], page_key,
+                                  enc_ctx.file_aad, rg_idx, col_ord)
+        comp_sz = out.tell() - start
+    else:
+        out.write(hdr + comp)
+        comp_sz = len(hdr) + len(comp)
     return {
         "bloom_hashes": None,
         "page_locations": [(start, len(hdr) + len(comp), 0)],
@@ -629,7 +691,7 @@ def _write_leaf_chunk(out, leaf, props: WriterProperties):
         "codec": codec,
         "num_values": n_entries,
         "total_uncompressed_size": len(hdr) + len(body),
-        "total_compressed_size": len(hdr) + len(comp),
+        "total_compressed_size": comp_sz,
         "data_page_offset": start,
         "dictionary_page_offset": None,
         "statistics": None,
@@ -695,27 +757,52 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
     own = sink is None
     if own:
         sink = io.BytesIO()
-    sink.write(MAGIC)
+    encryptor = None
+    if props.encryption is not None:
+        from . import parquet_crypto as pcx
+
+        encryptor = pcx.FileEncryptor(props.encryption)
+        if props.write_page_index or props.bloom_filter_columns:
+            raise st.ArrowTpuError(
+                "parquet encryption: page index / bloom filter module "
+                "encryption not implemented; disable those writer options")
+        sink.write(pcx.MAGIC_ENCRYPTED)
+    else:
+        sink.write(MAGIC)
     row_groups = []
-    for batch in batches:  # one row group per batch (reference ArrowWriter
-        # closes row groups at max_row_group_size; callers pre-slice with
-        # the coalescer)
+    for rg_idx, batch in enumerate(batches):  # one row group per batch
+        # (reference ArrowWriter closes row groups at max_row_group_size;
+        # callers pre-slice with the coalescer)
         n = int(batch.length)
         cols_meta = []
         from .parquet_nested import is_nested, shred_column
 
+        col_ord = 0
         for f, c in zip(schema.fields, batch.columns):
             if is_nested(f.dtype):
                 for leaf in shred_column(f.name, c, f.nullable):
-                    meta = _write_leaf_chunk(sink, leaf, props)
+                    path_str = ".".join(leaf.path)
+                    key = encryptor.column_key(path_str) if encryptor else None
+                    crypt = (encryptor, key) if key is not None else None
+                    meta = _write_leaf_chunk(sink, leaf, props, crypt,
+                                             rg_idx, col_ord)
                     meta["path"] = leaf.path
                     meta["file_offset"] = meta["data_page_offset"]
+                    meta["crypto"] = (encryptor.column_crypto_fields(path_str)
+                                      if key is not None else None)
                     cols_meta.append(meta)
+                    col_ord += 1
             else:
-                meta = _write_column(sink, c, f.dtype, props, f.nullable, f.name)
+                key = encryptor.column_key(f.name) if encryptor else None
+                crypt = (encryptor, key) if key is not None else None
+                meta = _write_column(sink, c, f.dtype, props, f.nullable,
+                                     f.name, crypt, rg_idx, col_ord)
                 meta["path"] = [f.name]
                 meta["file_offset"] = meta["dictionary_page_offset"] or meta["data_page_offset"]
+                meta["crypto"] = (encryptor.column_crypto_fields(f.name)
+                                  if key is not None else None)
                 cols_meta.append(meta)
+                col_ord += 1
         row_groups.append(
             {
                 "columns": cols_meta,
@@ -763,14 +850,62 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
                 m["offset_index_offset"] = sink.tell()
                 m["offset_index_length"] = len(blob)
                 sink.write(blob)
-    meta = _file_metadata(schema, row_groups, props)
-    sink.write(meta)
-    sink.write(struct.pack("<i", len(meta)))
-    sink.write(MAGIC)
+    meta = _file_metadata(schema, row_groups, props, encryptor)
+    if encryptor is not None:
+        from . import parquet_crypto as pcx
+
+        fcm = encryptor.file_crypto_metadata()
+        enc_footer = pcx.encrypt_module(
+            props.encryption.footer_key,
+            pcx.module_aad(encryptor.file_aad, pcx.M_FOOTER), meta)
+        sink.write(fcm)
+        sink.write(enc_footer)
+        sink.write(struct.pack("<i", len(fcm) + len(enc_footer)))
+        sink.write(pcx.MAGIC_ENCRYPTED)
+    else:
+        sink.write(meta)
+        sink.write(struct.pack("<i", len(meta)))
+        sink.write(MAGIC)
     return sink.getvalue() if own else None
 
 
-def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> bytes:
+def _column_meta_thrift(m) -> bytes:
+    """Serialize one ColumnMetaData struct body (own Writer so it can be
+    embedded inline or encrypted into ColumnChunk field 9)."""
+    w = thrift.Writer()
+    w.struct_begin()
+    w.field_i32(1, m["type"])
+    w.field_list(2, thrift.CT_I32, len(m["encodings"]))
+    for e in m["encodings"]:
+        w.elem_i32(e)
+    w.field_list(3, thrift.CT_BINARY, len(m["path"]))
+    for p_ in m["path"]:
+        w.elem_string(p_)
+    w.field_i32(4, m["codec"])
+    w.field_i64(5, m["num_values"])
+    w.field_i64(6, m["total_uncompressed_size"])
+    w.field_i64(7, m["total_compressed_size"])
+    w.field_i64(9, m["data_page_offset"])
+    if m["dictionary_page_offset"] is not None:
+        w.field_i64(11, m["dictionary_page_offset"])
+    if m["statistics"] is not None:
+        mn, mx, nulls, phys = m["statistics"]
+        w.field_struct(12)
+        w.struct_begin()
+        w.field_i64(3, nulls)
+        if mn is not None:
+            w.field_binary(5, _stats_bytes(mx, phys))  # max_value
+            w.field_binary(6, _stats_bytes(mn, phys))  # min_value
+        w.struct_end()
+    if m.get("bloom_filter_offset") is not None:
+        w.field_i64(14, m["bloom_filter_offset"])
+        w.field_i32(15, m["bloom_filter_length"])
+    w.struct_end()
+    return w.bytes()
+
+
+def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties,
+                   encryptor=None) -> bytes:
     w = thrift.Writer()
     w.struct_begin()
     w.field_i32(1, 2)  # version
@@ -789,41 +924,43 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> by
     total_rows = sum(rg["num_rows"] for rg in row_groups)
     w.field_i64(3, total_rows)
     w.field_list(4, thrift.CT_STRUCT, len(row_groups))
-    for rg in row_groups:
+    for rg_idx, rg in enumerate(row_groups):
         w.struct_begin()
         w.field_list(1, thrift.CT_STRUCT, len(rg["columns"]))
-        for m in rg["columns"]:
+        for col_ord, m in enumerate(rg["columns"]):
             w.struct_begin()  # ColumnChunk
             w.field_i64(2, m["file_offset"])
-            w.field_struct(3)
-            w.struct_begin()  # ColumnMetaData
-            w.field_i32(1, m["type"])
-            w.field_list(2, thrift.CT_I32, len(m["encodings"]))
-            for e in m["encodings"]:
-                w.elem_i32(e)
-            w.field_list(3, thrift.CT_BINARY, len(m["path"]))
-            for p in m["path"]:
-                w.elem_string(p)
-            w.field_i32(4, m["codec"])
-            w.field_i64(5, m["num_values"])
-            w.field_i64(6, m["total_uncompressed_size"])
-            w.field_i64(7, m["total_compressed_size"])
-            w.field_i64(9, m["data_page_offset"])
-            if m["dictionary_page_offset"] is not None:
-                w.field_i64(11, m["dictionary_page_offset"])
-            if m["statistics"] is not None:
-                mn, mx, nulls, phys = m["statistics"]
-                w.field_struct(12)
+            cm_bytes = _column_meta_thrift(m)
+            crypto = m.get("crypto")
+            if crypto is None:
+                w.field_struct(3)
+                w.raw(cm_bytes)
+            else:
+                member, path_list, key_meta = crypto
+                if member == 1:  # footer key: meta stays inline
+                    w.field_struct(3)
+                    w.raw(cm_bytes)
+                w.field_struct(8)  # crypto_metadata union
                 w.struct_begin()
-                w.field_i64(3, nulls)
-                if mn is not None:
-                    w.field_binary(5, _stats_bytes(mx, phys))  # max_value
-                    w.field_binary(6, _stats_bytes(mn, phys))  # min_value
+                w.field_struct(member)
+                w.struct_begin()
+                if member == 2:
+                    w.field_list(1, thrift.CT_BINARY, len(path_list))
+                    for p in path_list:
+                        w.elem_string(p)
+                    if key_meta:
+                        w.field_binary(2, key_meta)
                 w.struct_end()
-            if m.get("bloom_filter_offset") is not None:
-                w.field_i64(14, m["bloom_filter_offset"])
-                w.field_i32(15, m["bloom_filter_length"])
-            w.struct_end()
+                w.struct_end()
+                if member == 2:
+                    from . import parquet_crypto as pcx
+
+                    key = props.encryption.column_keys[".".join(path_list)]
+                    aad = pcx.module_aad(
+                        encryptor.file_aad, pcx.M_COLUMN_METADATA,
+                        rg_idx, col_ord)
+                    w.field_binary(9, pcx.encrypt_module(key, aad,
+                                                         cm_bytes))
             if m.get("offset_index_offset") is not None:
                 w.field_i64(4, m["offset_index_offset"])
                 w.field_i32(5, m["offset_index_length"])
@@ -833,6 +970,10 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties) -> by
             w.struct_end()
         w.field_i64(2, rg["total_byte_size"])
         w.field_i64(3, rg["num_rows"])
+        if encryptor is not None:
+            # RowGroup.ordinal (field 7, i16): parquet-cpp derives module
+            # AADs from this stored ordinal, not the positional index
+            w.field_i16(7, rg_idx)
         w.struct_end()
     w.field_string(6, props.created_by)
     # column_orders: TYPE_ORDER per leaf — without it readers must ignore
@@ -882,14 +1023,42 @@ def _field_stats(m: Dict[int, Any], phys: int):
 class ParquetFile:
     """Footer-parsed handle (reference ParquetMetaData + builder)."""
 
-    def __init__(self, source):
+    def __init__(self, source, decryption=None):
         buf = source.read() if hasattr(source, "read") else source
         if isinstance(buf, str):
             buf = open(buf, "rb").read()
-        if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        self._decryptor = None
+        if buf[:4] == b"PARE" and buf[-4:] == b"PARE":
+            # encrypted footer mode (parquet modular encryption)
+            from . import parquet_crypto as pcx
+
+            if decryption is None:
+                raise st.ArrowTpuError(
+                    "encrypted parquet file: pass decryption="
+                    "FileDecryptionProperties(...)")
+            (meta_len,) = struct.unpack_from("<i", buf, len(buf) - 8)
+            footer = buf[len(buf) - 8 - meta_len : len(buf) - 8]
+            r = thrift.Reader(footer)
+            fcm = r.read_struct()
+            dec = pcx.FileDecryptor(fcm[1], bytes(fcm.get(2, b"")),
+                                    decryption)
+            aad = pcx.module_aad(dec.file_aad, pcx.M_FOOTER)
+            pt, _ = pcx.decrypt_module(dec.footer_key, aad, footer, r.pos)
+            meta = thrift.Reader(pt).read_struct()
+            self._decryptor = dec
+        elif buf[:4] != MAGIC or buf[-4:] != MAGIC:
             raise st.ArrowTpuError("not a parquet file (bad magic)")
-        (meta_len,) = struct.unpack_from("<i", buf, len(buf) - 8)
-        meta = thrift.Reader(buf[len(buf) - 8 - meta_len : len(buf) - 8]).read_struct()
+        else:
+            (meta_len,) = struct.unpack_from("<i", buf, len(buf) - 8)
+            meta = thrift.Reader(
+                buf[len(buf) - 8 - meta_len : len(buf) - 8]).read_struct()
+            if 8 in meta and decryption is not None:
+                # plaintext footer mode: algorithm stored in FileMetaData
+                # field 8 (footer signature not verified — documented)
+                from . import parquet_crypto as pcx
+
+                self._decryptor = pcx.FileDecryptor(
+                    meta[8], bytes(meta.get(9, b"")), decryption)
         self.buf = buf
         self._meta = meta
         self.num_rows = meta[3]
@@ -910,6 +1079,10 @@ class ParquetFile:
             fields.append(fld)
         self.schema = st.Schema(tuple(fields))
         self.row_groups = meta[4]
+        if self._decryptor is not None:
+            for rg_i, rg in enumerate(self.row_groups):
+                for col_i, chunk in enumerate(rg[1]):
+                    self._decryptor.register_chunk(rg_i, col_i, chunk)
 
     def _leaf_idx(self, column: str) -> int:
         return self._field_leaf_start[self.schema.index_of(column)]
@@ -984,13 +1157,15 @@ class ParquetFile:
                 chunk = rg[1][start]
                 cols.append(self._read_chunk(
                     chunk, field.dtype, num_rows, field.nullable,
-                    tl=self._leaf_info[start][4]))
+                    tl=self._leaf_info[start][4], rg_idx=rg_idx,
+                    col_ord=start))
             else:
                 datas = []
                 for k in range(_leaf_count(field.dtype)):
                     md, mr, ldt, lnull, ltl = self._leaf_info[start + k]
                     defs, reps, values = self._read_chunk_levels(
-                        rg[1][start + k], md, mr, tl=ltl)
+                        rg[1][start + k], md, mr, tl=ltl, rg_idx=rg_idx,
+                        col_ord=start + k)
                     datas.append(LeafData(defs, reps, values, ldt, lnull, md))
                 cols.append(assemble_column(field, datas, num_rows))
             fields.append(field)
@@ -1006,8 +1181,34 @@ class ParquetFile:
         ]
         return batches[0] if len(batches) == 1 else concat_batches(batches)
 
+    def _read_page(self, pos: int, key, rg_idx: int, col_ord: int,
+                   is_dict: bool, data_ord):
+        """One page's (header_struct, compressed_body, new_pos), handling
+        the modular-encryption framing (header + body as separate GCM
+        modules) when `key` is set."""
+        if key is not None:
+            from . import parquet_crypto as pcx
+
+            dec = self._decryptor
+            hm = (pcx.M_DICTIONARY_PAGE_HEADER if is_dict
+                  else pcx.M_DATA_PAGE_HEADER)
+            pm = pcx.M_DICTIONARY_PAGE if is_dict else pcx.M_DATA_PAGE
+            po = None if is_dict else data_ord
+            hdr_pt, pos = pcx.decrypt_module(
+                key, pcx.module_aad(dec.file_aad, hm, rg_idx, col_ord, po),
+                self.buf, pos)
+            hdr = thrift.Reader(hdr_pt).read_struct()
+            body, pos = pcx.decrypt_module(
+                key, pcx.module_aad(dec.file_aad, pm, rg_idx, col_ord, po),
+                self.buf, pos)
+            return hdr, body, pos
+        r = thrift.Reader(self.buf, pos)
+        hdr = r.read_struct()
+        return hdr, self.buf[r.pos : r.pos + hdr[3]], r.pos + hdr[3]
+
     def _read_chunk(self, chunk: Dict[int, Any], dt: st.DataType, num_rows: int,
-                    nullable: bool = True, tl: Optional[int] = None) -> col.Column:
+                    nullable: bool = True, tl: Optional[int] = None,
+                    rg_idx: int = 0, col_ord: int = 0) -> col.Column:
         cm = chunk[3]
         phys = cm[1]
         codec = cm[4]
@@ -1018,17 +1219,21 @@ class ParquetFile:
         values = []
         valid_parts = []
         remaining = num_values
+        key = (self._decryptor.page_key(rg_idx, col_ord)
+               if self._decryptor is not None else None)
+        first, has_dict, data_ord = True, 11 in cm, 0
         while remaining > 0:
-            r = thrift.Reader(self.buf, pos)
-            hdr = r.read_struct()
+            hdr, comp_body, pos = self._read_page(
+                pos, key, rg_idx, col_ord, first and has_dict, data_ord)
+            first = False
             page_type = hdr[1]
-            uncomp, comp = hdr[2], hdr[3]
-            body = _decompress(codec, self.buf[r.pos : r.pos + comp], uncomp)
-            pos = r.pos + comp
+            uncomp = hdr[2]
+            body = _decompress(codec, comp_body, uncomp)
             if page_type == 2:  # dictionary
                 dph = hdr[7]
                 dictionary = self._decode_dict_page(body, phys, dph[1], tl=tl)
                 continue
+            data_ord += 1
             if page_type != 0:
                 raise st.ArrowTpuError(f"parquet: unsupported page type {page_type}")
             dph = hdr[5]
@@ -1045,7 +1250,8 @@ class ParquetFile:
         return _assemble(values, valid, phys, dt, num_rows)
 
     def _read_chunk_levels(self, chunk: Dict[int, Any], max_def: int,
-                           max_rep: int, tl: Optional[int] = None):
+                           max_rep: int, tl: Optional[int] = None,
+                           rg_idx: int = 0, col_ord: int = 0):
         """Nested leaf: concatenated (def_levels, rep_levels, values)."""
         cm = chunk[3]
         phys = cm[1]
@@ -1057,17 +1263,21 @@ class ParquetFile:
         defs_parts = []
         reps_parts = []
         remaining = num_values
+        key = (self._decryptor.page_key(rg_idx, col_ord)
+               if self._decryptor is not None else None)
+        first, has_dict, data_ord = True, 11 in cm, 0
         while remaining > 0:
-            r = thrift.Reader(self.buf, pos)
-            hdr = r.read_struct()
+            hdr, comp_body, pos = self._read_page(
+                pos, key, rg_idx, col_ord, first and has_dict, data_ord)
+            first = False
             page_type = hdr[1]
-            uncomp, comp = hdr[2], hdr[3]
-            body = _decompress(codec, self.buf[r.pos : r.pos + comp], uncomp)
-            pos = r.pos + comp
+            uncomp = hdr[2]
+            body = _decompress(codec, comp_body, uncomp)
             if page_type == 2:
                 dph = hdr[7]
                 dictionary = self._decode_dict_page(body, phys, dph[1], tl=tl)
                 continue
+            data_ord += 1
             if page_type != 0:
                 raise st.ArrowTpuError(f"parquet: unsupported page type {page_type}")
             dph = hdr[5]
@@ -1233,8 +1443,8 @@ def _assemble(values, valid: np.ndarray, phys: int, dt: st.DataType, num_rows: i
 
 
 def read_parquet(source, columns: Optional[List[str]] = None, *,
-                 validate: bool = False) -> bt.RecordBatch:
-    out = ParquetFile(source).read(columns)
+                 validate: bool = False, decryption=None) -> bt.RecordBatch:
+    out = ParquetFile(source, decryption=decryption).read(columns)
     if validate:
         from ..core.validate import check_batch
 

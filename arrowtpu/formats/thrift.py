@@ -68,6 +68,10 @@ class Writer:
     def field_bool(self, fid: int, v: bool):
         self._field_header(fid, CT_TRUE if v else CT_FALSE)
 
+    def field_i16(self, fid: int, v: int):
+        self._field_header(fid, CT_I16)
+        _uvarint(self.buf, _zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+
     def field_i32(self, fid: int, v: int):
         self._field_header(fid, CT_I32)
         _uvarint(self.buf, _zigzag(v) & 0xFFFFFFFFFFFFFFFF)
@@ -113,6 +117,12 @@ class Writer:
 
     def elem_string(self, s: str):
         self.elem_binary(s.encode("utf-8"))
+
+    def raw(self, data: bytes):
+        """Append pre-serialized thrift bytes (e.g. a complete struct body
+        after field_struct(); compact-protocol structs are self-contained
+        — field-id deltas reset per struct)."""
+        self.buf += data
 
     def bytes(self) -> bytes:
         return bytes(self.buf)

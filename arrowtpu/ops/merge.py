@@ -65,7 +65,7 @@ def merge_indices(columns_per_source: Sequence[Sequence[col.Column]],
     from ..rowformat import pack as rp
 
     _, extras = rp.sort_by_planes(all_planes, total_cap, None, [iota],
-                                  live=live)
+                                  live=live, return_planes=False)
     perm = extras[0]
 
     bounds = jnp.cumsum(jnp.array(caps, dtype=jnp.int32))

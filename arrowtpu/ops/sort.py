@@ -37,7 +37,8 @@ def _sorted_iota(planes: List[jax.Array], capacity: int, length) -> jax.Array:
     minimal key words (rowformat/pack.py; the TPU-native replacement for
     the reference's row-format radix sort, arrow-row/src/lib.rs:17-23)."""
     iota = jnp.arange(capacity, dtype=jnp.int32)
-    _, extras = rp.sort_by_planes(planes, capacity, length, [iota])
+    _, extras = rp.sort_by_planes(planes, capacity, length, [iota],
+                                  return_planes=False)
     return extras[0]
 
 

@@ -102,6 +102,7 @@ def sort_by_planes(
     extras: Sequence[jax.Array] = (),
     max_words: int = MAX_WORDS,
     live: jax.Array | None = None,
+    return_planes: bool = True,
 ) -> Tuple[List[jax.Array], List[jax.Array]]:
     """Stable sort rows by (live-first, planes lexicographic ascending).
 
@@ -111,6 +112,9 @@ def sort_by_planes(
     (rowformat.encode); `extras` may be any dtype lax.sort accepts.
     `live` overrides the default capacity/length row mask (rows with
     live=False sort last and contribute nothing to key statistics).
+    `return_planes=False` skips carrying the planes (sorted_planes comes
+    back empty) — callers that only need the permutation save the
+    operand output buffers, which matters at 100M-row scale.
     """
     planes = [p.astype(U32) for p in planes]
     extras = list(extras)
@@ -124,7 +128,8 @@ def sort_by_planes(
     # full-plane fallback (padding plane + every plane as a key)
     branch = jnp.clip(words_needed, 1, max_words + 1) - 1
 
-    carried = planes + extras
+    carried = (planes if return_planes else []) + extras
+    n_planes = P if return_planes else 0
 
     def make_packed(k):
         def br(ops):
@@ -143,4 +148,4 @@ def sort_by_planes(
 
     branches = [make_packed(k) for k in range(1, max_words + 1)] + [fallback]
     out = jax.lax.switch(branch, branches, tuple(carried))
-    return list(out[:P]), list(out[P:])
+    return list(out[:n_planes]), list(out[n_planes:])

