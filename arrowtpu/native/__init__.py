@@ -65,6 +65,44 @@ def load(name: str):
         return lib
 
 
+def avro_decode_block(body: bytes, nrows: int, fdesc, arena_cap: int):
+    """Decode a flat-record Avro block natively.
+
+    fdesc: int32 numpy array (nfields, 4) [type, nullable, null_branch,
+    fixed_size].  Returns (vals i64 (nrows,nf), lens i64, valid u8,
+    arena bytes, consumed) or None when the native build is unavailable;
+    raises ValueError on malformed input."""
+    import numpy as np
+
+    lib = load("avroblock")
+    if lib is None:
+        return None
+    fn = lib.arrowtpu_avro_decode_block
+    fn.restype = ctypes.c_int64
+    nf = fdesc.shape[0]
+    vals = np.zeros((nrows, nf), np.int64)
+    lens = np.zeros((nrows, nf), np.int64)
+    valid = np.zeros((nrows, nf), np.uint8)
+    views = np.zeros((nrows, nf, 4), np.uint32)
+    arena = np.zeros(max(arena_cap, 1), np.uint8)
+    used = ctypes.c_int64(0)
+    fd = np.ascontiguousarray(fdesc, np.int32)
+    rc = fn(body, ctypes.c_int64(len(body)), ctypes.c_int64(nrows),
+            fd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(nf),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(arena.size), ctypes.byref(used),
+            views.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc == -2:
+        return avro_decode_block(body, nrows, fdesc, arena_cap * 2 + 1024)
+    if rc < 0:
+        raise ValueError("avro: malformed block (native decoder)")
+    return vals, lens, valid, arena[: used.value], rc, views
+
+
 def lz4_compress_block(data: bytes) -> bytes | None:
     """Greedy LZ4 block compression (native); None if unavailable or
     incompressible within the worst-case bound."""

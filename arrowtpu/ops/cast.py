@@ -53,6 +53,37 @@ def can_cast_types(from_dt: st.DataType, to_dt: st.DataType) -> bool:
         return can_cast_types(from_dt.value, to_dt)
     if isinstance(to_dt, st.Dictionary):
         return can_cast_types(from_dt, to_dt.value)
+    if isinstance(from_dt, st.Union):
+        return any(f.dtype == to_dt or can_cast_types(f.dtype, to_dt)
+                   for f in from_dt.fields)
+    if isinstance(to_dt, st.Union):
+        return False
+    if isinstance(from_dt, st.Map) and isinstance(to_dt, st.Map):
+        return (can_cast_types(from_dt.key, to_dt.key)
+                and can_cast_types(from_dt.item, to_dt.item))
+    if isinstance(from_dt, st.Interval) or isinstance(to_dt, st.Interval):
+        iv_pairs = (
+            (isinstance(from_dt, st.Interval)
+             and from_dt.unit in ("year_month", "day_time")
+             and isinstance(to_dt, st.Interval)
+             and to_dt.unit == "month_day_nano")
+            or (isinstance(from_dt, st.Interval)
+                and from_dt.unit == "month_day_nano"
+                and isinstance(to_dt, st.Duration))
+            or (isinstance(from_dt, st.Duration)
+                and isinstance(to_dt, st.Interval)
+                and to_dt.unit == "month_day_nano")
+            or (isinstance(from_dt, st.Int) and isinstance(to_dt, st.Interval)
+                and to_dt.unit == "year_month")
+            or (isinstance(from_dt, st.Interval)
+                and from_dt.unit == "year_month"
+                and isinstance(to_dt, st.Int))
+        )
+        return iv_pairs
+    if isinstance(to_dt, st.FixedSizeBinary):
+        return isinstance(from_dt, (st.Binary, st.Utf8))
+    if isinstance(from_dt, st.FixedSizeBinary):
+        return isinstance(to_dt, (st.Binary, st.Utf8))
     numericish = lambda d: d.is_numeric or isinstance(d, st.Boolean)
     if numericish(from_dt) and numericish(to_dt):
         return True
@@ -299,6 +330,48 @@ def cast(c: col.Column, to_dt: st.DataType, options: CastOptions = CastOptions()
     if isinstance(to_dt, st.Dictionary):
         return dictionary_encode(cast(c, to_dt.value, options), to_dt)
 
+    # union source: extract the first child castable to the target, rows
+    # of other type ids become null (reference cast/mod.rs:130
+    # resolve_child_array + :797 union_extract_by_type; casting TO a
+    # union is not supported, mod.rs:802)
+    if isinstance(c, col.UnionColumn):
+        from .union import union_extract
+
+        exact = [f for f in c.dtype.fields if f.dtype == to_dt]
+        castable = exact or [f for f in c.dtype.fields
+                             if can_cast_types(f.dtype, to_dt)]
+        if not castable:
+            raise st.CastError(f"union has no child castable to {to_dt}")
+        child = union_extract(c, castable[0].name)
+        return cast(child, to_dt, options)
+    if isinstance(to_dt, st.Union):
+        raise st.CastError("casting to a union is not supported "
+                           "(reference cast/mod.rs:802)")
+
+    # map -> map: entries cast element-wise (reference cast/map.rs,
+    # mod.rs:163/:939)
+    if isinstance(c, col.ListViewColumn) and isinstance(c.dtype, st.Map) \
+            and isinstance(to_dt, st.Map):
+        import dataclasses
+
+        entries = cast(c.child, to_dt.entry_struct, options)
+        return dataclasses.replace(c, child=entries, dtype=to_dt)
+
+    # interval conversions (reference cast/mod.rs:324-339)
+    if isinstance(from_dt, st.Interval) or isinstance(to_dt, st.Interval):
+        out = _cast_interval(c, to_dt, options)
+        if out is not None:
+            return out
+        raise st.CastError(f"cast {from_dt} -> {to_dt} unsupported")
+
+    # fixed-size binary (reference cast/mod.rs:257-263)
+    if isinstance(to_dt, st.FixedSizeBinary) and isinstance(
+            c, col.StringViewColumn):
+        return _binary_to_fsb(c, to_dt, options)
+    if isinstance(from_dt, st.FixedSizeBinary) and isinstance(
+            to_dt, (st.Binary, st.Utf8)):
+        return _fsb_to_binary(c, to_dt)
+
     # nested casts: element-wise through children (reference cast/list.rs,
     # struct casts by position)
     if isinstance(c, col.ListViewColumn) and isinstance(to_dt, st.List):
@@ -390,6 +463,108 @@ def cast(c: col.Column, to_dt: st.DataType, options: CastOptions = CastOptions()
         else:
             out_vals = jnp.where(bad, jnp.zeros_like(out_vals), out_vals)
     return col.PrimitiveColumn(out_vals, validity, length, to_dt)
+
+
+def _cast_interval(c: col.Column, to_dt: st.DataType,
+                   options: CastOptions):
+    """Interval conversions (reference cast/mod.rs:324-339): YM/DT ->
+    MonthDayNano, Duration <-> MonthDayNano, Int32/Int64 <-> YearMonth.
+    Returns None for unsupported pairs."""
+    from_dt = c.dtype
+    cap, length = c.capacity, c.length
+    U32 = jnp.uint32
+
+    def mdn(months, days, nanos_limbs):
+        vals = jnp.stack([
+            months.astype(U32), days.astype(U32),
+            nanos_limbs[..., 0], nanos_limbs[..., 1]], axis=-1)
+        return col.PrimitiveColumn(vals, c.validity, length, to_dt)
+
+    z = jnp.zeros(cap, jnp.int32)
+    if isinstance(from_dt, st.Interval) and isinstance(to_dt, st.Interval):
+        if from_dt.unit == "year_month" and to_dt.unit == "month_day_nano":
+            return mdn(c.values[:, 0], z, wd.zeros((cap,)))
+        if from_dt.unit == "day_time" and to_dt.unit == "month_day_nano":
+            ms = c.values[:, 1].astype(jnp.int32)
+            nanos = _i64_scale(wd.from_int32(ms), 10**6, 1)
+            return mdn(z, c.values[:, 0], nanos)
+        return None
+    if isinstance(from_dt, st.Interval) and isinstance(to_dt, st.Duration):
+        if from_dt.unit != "month_day_nano":
+            return None
+        months = c.values[:, 0].astype(jnp.int32)
+        days = c.values[:, 1].astype(jnp.int32)
+        nanos = jnp.stack([c.values[:, 2], c.values[:, 3]], axis=-1)
+        bad = (months != 0) | (days != 0)
+        out = _i64_scale(nanos, 1, _UNIT_NS[to_dt.unit])
+        validity = _apply_bad(c.validity, bad, cap, length, options,
+                              f"{from_dt}->{to_dt} (months/days nonzero)")
+        out = jnp.where(bad[:, None], 0, out)
+        return col.PrimitiveColumn(out, validity, length, to_dt)
+    if isinstance(from_dt, st.Duration) and isinstance(to_dt, st.Interval):
+        if to_dt.unit != "month_day_nano":
+            return None
+        nanos = _i64_scale(c.values, _UNIT_NS[from_dt.unit], 1)
+        return mdn(z, z, nanos)
+    if isinstance(from_dt, st.Int) and isinstance(to_dt, st.Interval) \
+            and to_dt.unit == "year_month":
+        months = (c.values.astype(jnp.int32) if c.values.ndim == 1
+                  else wd.to_int32_wrap(c.values))
+        return col.PrimitiveColumn(months.astype(U32)[:, None], c.validity,
+                                   length, to_dt)
+    if isinstance(from_dt, st.Interval) and from_dt.unit == "year_month" \
+            and isinstance(to_dt, st.Int):
+        months = c.values[:, 0].astype(jnp.int32)
+        src = col.PrimitiveColumn(months, c.validity, length, st.int32)
+        return cast(src, to_dt, options)
+    return None
+
+
+def _binary_to_fsb(c: col.StringViewColumn, to_dt: st.FixedSizeBinary,
+                   options: CastOptions):
+    """Binary/Utf8 -> FixedSizeBinary (reference cast/mod.rs:257):
+    values whose length != byte_width become null (safe) or error."""
+    from .strings import byte_matrix
+
+    bw = to_dt.byte_width
+    cap, length = c.capacity, c.length
+    L = -(-max(bw, 1) // 4) * 4
+    mat, lens = byte_matrix(c, L)
+    bad = (lens != bw) & c.valid_bool()
+    validity = _apply_bad(c.validity, bad, cap, length, options,
+                          f"{c.dtype}->{to_dt} (length != {bw})")
+    quads = mat.reshape(cap, L // 4, 4).astype(jnp.uint32)
+    words = (quads[:, :, 0] | (quads[:, :, 1] << 8)
+             | (quads[:, :, 2] << 16) | (quads[:, :, 3] << 24))
+    nw = -(-bw // 4)
+    words = words[:, :nw]
+    words = jnp.where(bad[:, None], 0, words)
+    return col.PrimitiveColumn(words, validity, length, to_dt)
+
+
+def _fsb_to_binary(c: col.PrimitiveColumn, to_dt: st.DataType):
+    """FixedSizeBinary -> Binary/Utf8 views sharing a device arena
+    (reference cast/mod.rs:263)."""
+    import jax
+
+    bw = c.dtype.byte_width
+    cap, length = c.capacity, c.length
+    nw = c.values.shape[1]
+    stride = nw * 4
+    arena = jax.lax.bitcast_convert_type(
+        c.values.reshape(-1), jnp.uint8).reshape(-1)
+    iota = jnp.arange(cap, dtype=jnp.uint32)
+    lens = jnp.full(cap, bw, jnp.uint32)
+    if bw <= 12:
+        w1 = c.values[:, 0] if nw >= 1 else jnp.zeros(cap, jnp.uint32)
+        w2 = c.values[:, 1] if nw >= 2 else jnp.zeros(cap, jnp.uint32)
+        w3 = c.values[:, 2] if nw >= 3 else jnp.zeros(cap, jnp.uint32)
+        views = jnp.stack([lens, w1, w2, w3], axis=-1)
+    else:
+        views = jnp.stack([lens, c.values[:, 0],
+                           jnp.zeros(cap, jnp.uint32), iota * stride],
+                          axis=-1)
+    return col.StringViewColumn(views, arena, c.validity, length, to_dt, bw)
 
 
 def _all_null(to_dt: st.DataType, n: int) -> col.Column:

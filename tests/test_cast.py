@@ -12,6 +12,8 @@ from arrowtpu import ops
 from arrowtpu import schema as st
 from arrowtpu.config import CastOptions
 from arrowtpu.interop import from_pyarrow, to_pyarrow
+from arrowtpu.core import column as cc
+from arrowtpu.ops.cast import can_cast_types, cast
 
 
 def _check_vs_pa(pa_arr, to_patype, to_dt, safe=True):
@@ -193,3 +195,78 @@ def test_cast_large_random_vs_pa(rng):
     ok = (v >= -(2**31)) & (v < 2**31) & ~mask
     expected = [int(x) if k else None for x, k in zip(v, ok)]
     assert ours.to_pylist() == expected
+
+
+class TestCastCompletenessRound4:
+    """Map / Union-extract / Interval / FixedSizeBinary cast families
+    (reference arrow-cast/src/cast/mod.rs:115-339; round-3 verdict
+    missing #6)."""
+
+    def test_map_cast_elementwise(self):
+        m = cc.from_pylist([[("a", 1), ("b", 2)], None, [("c", 3)]],
+                           st.Map(st.utf8, st.int64))
+        out = cast(m, st.Map(st.utf8, st.float64))
+        assert out.to_pylist() == [[("a", 1.0), ("b", 2.0)], None,
+                                   [("c", 3.0)]]
+
+    def test_union_extract_cast(self):
+        u_dt = st.Union((st.Field("i", st.int32), st.Field("s", st.utf8)),
+                        (0, 1), "dense")
+        u = cc.union_column(
+            [0, 1, 0],
+            [cc.from_pylist([7, -7], st.int32),
+             cc.from_pylist(["x"], st.utf8)],
+            u_dt, offsets=[0, 0, 1], length=3)
+        assert cast(u, st.int64).to_pylist() == [7, None, -7]
+        # exact child match wins over castability (int32 -> utf8 is legal)
+        assert cast(u, st.utf8).to_pylist() == [None, "x", None]
+        with pytest.raises(st.CastError):
+            cast(cc.from_pylist([1], st.int32), u_dt)
+
+    def test_interval_conversions(self):
+        ym = cc.from_pylist([12, None, -3], st.Interval("year_month"))
+        assert cast(ym, st.Interval("month_day_nano")).to_pylist() == \
+            [(12, 0, 0), None, (-3, 0, 0)]
+        dt_ = cc.from_pylist([(2, 500), None], st.Interval("day_time"))
+        assert cast(dt_, st.Interval("month_day_nano")).to_pylist() == \
+            [(0, 2, 500_000_000), None]
+        mdn = cast(cc.from_pylist([1500, None, -2], st.Duration("us")),
+                   st.Interval("month_day_nano"))
+        assert mdn.to_pylist() == [(0, 0, 1_500_000), None, (0, 0, -2000)]
+        assert cast(mdn, st.Duration("ns")).to_pylist() == \
+            [1_500_000, None, -2000]
+        # months/days nonzero -> null in safe mode (cast/mod.rs:337)
+        bad = cast(cc.from_pylist([(1, 0, 5)],
+                                  st.Interval("month_day_nano")),
+                   st.Duration("ns"))
+        assert bad.to_pylist() == [None]
+        assert cast(cc.from_pylist([5, None], st.int32),
+                    st.Interval("year_month")).to_pylist() == [5, None]
+        assert cast(ym, st.int64).to_pylist() == [12, None, -3]
+
+    def test_binary_fsb_roundtrip(self):
+        b = cc.from_pylist([b"0123", None, b"abcd", b"xy"], st.binary)
+        fsb = cast(b, st.FixedSizeBinary(4))
+        assert fsb.to_pylist() == [b"0123", None, b"abcd", None]
+        with pytest.raises(st.ArrowTpuError):
+            cast(b, st.FixedSizeBinary(4), CastOptions(safe=False))
+        assert cast(fsb, st.binary).to_pylist() == \
+            [b"0123", None, b"abcd", None]
+        # > 12 bytes exercises the arena (non-inline) view path
+        fsb16 = cast(cc.from_pylist([b"0123456789abcdef", None],
+                                    st.binary), st.FixedSizeBinary(16))
+        assert cast(fsb16, st.binary).to_pylist() == \
+            [b"0123456789abcdef", None]
+
+    def test_can_cast_types_parity(self):
+        u_dt = st.Union((st.Field("i", st.int32),), (0,), "sparse")
+        assert can_cast_types(u_dt, st.int64)
+        assert not can_cast_types(st.int64, u_dt)
+        assert can_cast_types(st.Map(st.utf8, st.int64),
+                              st.Map(st.utf8, st.float64))
+        assert can_cast_types(st.Interval("day_time"),
+                              st.Interval("month_day_nano"))
+        assert not can_cast_types(st.Interval("month_day_nano"),
+                                  st.Interval("year_month"))
+        assert can_cast_types(st.binary, st.FixedSizeBinary(8))
+        assert can_cast_types(st.FixedSizeBinary(8), st.binary)
