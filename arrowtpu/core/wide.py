@@ -523,153 +523,178 @@ def _scale_pow2(x, e):
 # ---------------------------------------------------------------------------
 
 
-def _f64_parts(a):
-    """limbs -> (sign, align_exp E (int32, subnormals->1), 53-bit mantissa
-    as a u32 limb pair with the implicit bit applied)."""
-    h, l = hi(a), lo(a)
+# ---- f64 softfloat tuple kernels (see tuple-kernels note above: the
+# (n,2)-stacked form of this chain ran at 16.8 ms per 8M adds; tuple
+# planes remove the stack materializations) ----------------------------
+
+
+def _or_t(a, b):
+    return a[0] | b[0], a[1] | b[1]
+
+
+def _shl_t(a, k):
+    """Tuple shift-left by per-element k (0..63)."""
+    al, ah = a
+    k = k.astype(U32) & U32(63)
+    small = k < 32
+    ks = jnp.where(small, k, k - 32)
+    l1 = jnp.where(small & (ks > 0), al << ks,
+                   jnp.where(small, al, U32(0)))
+    spill = jnp.where(small & (ks > 0), al >> (U32(32) - ks), U32(0))
+    h1 = jnp.where(small, jnp.where(ks > 0, (ah << ks) | spill, ah),
+                   al << ks)
+    return l1, h1
+
+
+def _shr_t(a, k):
+    """Tuple logical shift-right by per-element k (0..63)."""
+    al, ah = a
+    k = k.astype(U32) & U32(63)
+    small = k < 32
+    ks = jnp.where(small, k, k - 32)
+    spill = jnp.where(small & (ks > 0), ah << (U32(32) - ks), U32(0))
+    l1 = jnp.where(small, jnp.where(ks > 0, (al >> ks) | spill, al),
+                   ah >> ks)
+    h1 = jnp.where(small, jnp.where(ks > 0, ah >> ks, ah), U32(0))
+    return l1, h1
+
+
+def _pow2_t(k: int, shape):
+    if k < 32:
+        return (jnp.full(shape, np.uint32(1 << k), U32),
+                jnp.zeros(shape, U32))
+    return (jnp.zeros(shape, U32),
+            jnp.full(shape, np.uint32(1 << (k - 32)), U32))
+
+
+def _clz64_t(m):
+    x = m
+    n = jnp.zeros(m[0].shape, jnp.int32)
+    for step in (32, 16, 8, 4, 2, 1):
+        empty = _lt_u_t(x, _pow2_t(64 - step, m[0].shape))
+        x = _where_t(empty, _shl_t(x, jnp.full(n.shape, step, U32)), x)
+        n = n + jnp.where(empty, step, 0)
+    return n
+
+
+def _f64_parts_t(l, h):
     s = h >> 31
     e = ((h >> 20) & U32(0x7FF)).astype(jnp.int32)
     frac_hi = h & U32(0xFFFFF)
     normal = e > 0
     m_hi = jnp.where(normal, frac_hi | U32(0x100000), frac_hi)
     E = jnp.where(normal, e, 1)
-    return s, E, make(l, m_hi)
+    return s, E, (l, m_hi)
 
 
-def _f64_assemble(s, e_field, m):
-    """(sign, biased exponent field, 52-bit fraction limbs) -> limbs."""
+def _f64_assemble_t(s, e_field, m):
     h = (s.astype(U32) << 31) | (e_field.astype(U32) << 20) \
-        | (hi(m) & U32(0xFFFFF))
-    return make(lo(m), h)
+        | (m[1] & U32(0xFFFFF))
+    return m[0], h
 
 
-def _round_pack(s, Er, Mn):
-    """Round-to-nearest-even a normalized-or-subnormal (mantissa<<3 | grs)
-    pair Mn with exponent Er (value = Mn * 2^(Er-1075-3) when Mn's MSB is
-    at bit 55), then pack.  Handles subnormal underflow and inf overflow.
-    Callers guarantee: Mn < 2^56, and if Er >= 1 then Mn >= 2^55 or the
-    true result is subnormal-range (Er == 1 with any Mn)."""
-    # subnormal denormalization: Er <= 0 -> shift right by 1-Er w/ sticky
+def _round_pack_t(s, Er, Mn):
+    """Tuple form of the RNE round-and-pack (same contract as the
+    docstring below on the limb-pair version it replaced)."""
+    shape = Mn[0].shape
+    zero_t = (jnp.zeros(shape, U32), jnp.zeros(shape, U32))
     den = jnp.maximum(1 - Er, 0)
     dcl = jnp.minimum(den, 63).astype(U32)
-    shifted = shr(Mn, dcl)
-    lost = sub(Mn, shl(shifted, dcl))
-    sticky = jnp.where(den > 0, (lo(lost) | hi(lost)) != 0, False)
+    shifted = _shr_t(Mn, dcl)
+    lost = _sub_t(Mn, _shl_t(shifted, dcl))
+    sticky = jnp.where(den > 0, (lost[0] | lost[1]) != 0, False)
     big = den > 63
-    Md = jnp.where(big[..., None], zeros(den.shape), shifted)
-    sticky = sticky | (big & ((lo(Mn) | hi(Mn)) != 0))
-    Md = or_(Md, make(sticky.astype(U32), jnp.zeros_like(dcl)))
-    Ed = jnp.where(den > 0, 1, Er)
+    Md = _where_t(big, zero_t, shifted)
+    sticky = sticky | (big & ((Mn[0] | Mn[1]) != 0))
+    Md = (Md[0] | sticky.astype(U32), Md[1])
 
-    m53 = shr(Md, jnp.full(den.shape, 3, U32))
-    g = (lo(Md) >> 2) & U32(1)
-    r = (lo(Md) >> 1) & U32(1)
-    st = lo(Md) & U32(1)
-    odd = lo(m53) & U32(1)
-    up = (g == 1) & ((r == 1) | (st == 1) | (odd == 1))
-    mr = add(m53, make(up.astype(U32), jnp.zeros_like(g)))
-    # mantissa overflow to 2^53: renormalize
-    ovf = (hi(mr) >> 21) != 0
-    mr = jnp.where(ovf[..., None], shr(mr, jnp.full(den.shape, 1, U32)), mr)
+    m53 = _shr_t(Md, jnp.full(shape, 3, U32))
+    g = (Md[0] >> 2) & U32(1)
+    r = (Md[0] >> 1) & U32(1)
+    st_ = Md[0] & U32(1)
+    odd = m53[0] & U32(1)
+    up = (g == 1) & ((r == 1) | (st_ == 1) | (odd == 1))
+    mr = _add_t(m53, (up.astype(U32), jnp.zeros(shape, U32)))
+    ovf = (mr[1] >> 21) != 0
+    mr = _where_t(ovf, _shr_t(mr, jnp.full(shape, 1, U32)), mr)
+    Ed = jnp.where(den > 0, 1, Er)
     Ef = Ed + ovf.astype(jnp.int32)
-    # if the rounded mantissa has the implicit bit, exponent field = Ef,
-    # else (subnormal) 0
-    has_imp = (hi(mr) >> 20) != 0
+    has_imp = (mr[1] >> 20) != 0
     e_field = jnp.where(has_imp, Ef, 0)
-    # overflow -> inf
     inf = e_field >= 0x7FF
     e_field = jnp.where(inf, 0x7FF, e_field)
-    mr = jnp.where(inf[..., None], zeros(den.shape), mr)
-    return _f64_assemble(s, e_field, mr)
-
-
-def _clz64(m):
-    """Leading-zero count of a u32 limb pair (0..64; 64 for zero input
-    never reached by callers, which substitute a placeholder)."""
-    x = m
-    n = jnp.zeros(lo(m).shape, jnp.int32)
-    for step in (32, 16, 8, 4, 2, 1):
-        # top `step` bits empty?  compare against 2^(64-step)
-        empty = lt_unsigned(x, _pow2limb(64 - step, lo(m).shape))
-        x = jnp.where(empty[..., None], shl(x, jnp.full(n.shape, step, U32)), x)
-        n = n + jnp.where(empty, step, 0)
-    return n
-
-
-def _pow2limb(k, shape):
-    """Constant limb pair 2^k (0 <= k < 64)."""
-    if k < 32:
-        return make(jnp.full(shape, np.uint32(1 << k), U32),
-                    jnp.zeros(shape, U32))
-    return make(jnp.zeros(shape, U32),
-                jnp.full(shape, np.uint32(1 << (k - 32)), U32))
+    mr = _where_t(inf, zero_t, mr)
+    return _f64_assemble_t(s, e_field, mr)
 
 
 def f64_add_exact(a, b):
-    """Exact IEEE754 RNE a + b on limb pairs."""
-    shape = lo(a).shape
-    sa, Ea, ma = _f64_parts(a)
-    sb, Eb, mb = _f64_parts(b)
+    """Exact IEEE754 RNE a + b on limb pairs (tuple kernels inside)."""
+    al, ah = lo(a), hi(a)
+    bl, bh = lo(b), hi(b)
+    shape = al.shape
+    zero_t = (jnp.zeros(shape, U32), jnp.zeros(shape, U32))
+    sa, Ea, ma = _f64_parts_t(al, ah)
+    sb, Eb, mb = _f64_parts_t(bl, bh)
 
     # order by (E, m) magnitude so x >= y in magnitude
-    swap = (Eb > Ea) | ((Eb == Ea) & lt_unsigned(ma, mb))
+    swap = (Eb > Ea) | ((Eb == Ea) & _lt_u_t(ma, mb))
     sx = jnp.where(swap, sb, sa)
     sy = jnp.where(swap, sa, sb)
     Ex = jnp.where(swap, Eb, Ea)
     Ey = jnp.where(swap, Ea, Eb)
-    mx = jnp.where(swap[..., None], mb, ma)
-    my = jnp.where(swap[..., None], ma, mb)
+    mx = _where_t(swap, mb, ma)
+    my = _where_t(swap, ma, mb)
 
-    Mx = shl(mx, jnp.full(shape, 3, U32))      # 56-bit with 3 grs bits
-    My = shl(my, jnp.full(shape, 3, U32))
+    Mx = _shl_t(mx, jnp.full(shape, 3, U32))   # 56-bit with 3 grs bits
+    My = _shl_t(my, jnp.full(shape, 3, U32))
     d = Ex - Ey
     dcl = jnp.minimum(d, 63).astype(U32)
-    Ms = shr(My, dcl)
-    lost = sub(My, shl(Ms, dcl))
-    sticky = (d > 0) & ((lo(lost) | hi(lost)) != 0)
+    Ms = _shr_t(My, dcl)
+    lost = _sub_t(My, _shl_t(Ms, dcl))
+    sticky = (d > 0) & ((lost[0] | lost[1]) != 0)
     far = d > 55
-    Ms = jnp.where(far[..., None], zeros(shape), Ms)
-    sticky = sticky | (far & ((lo(My) | hi(My)) != 0))
-    Ms = or_(Ms, make(sticky.astype(U32), jnp.zeros(shape, U32)))
+    Ms = _where_t(far, zero_t, Ms)
+    sticky = sticky | (far & ((My[0] | My[1]) != 0))
+    Ms = (Ms[0] | sticky.astype(U32), Ms[1])
 
     same = sx == sy
-    Msum = jnp.where(same[..., None], add(Mx, Ms), sub(Mx, Ms))
+    Msum = _where_t(same, _add_t(Mx, Ms), _sub_t(Mx, Ms))
 
-    # normalize so the MSB sits at bit 55: MSB is at p = 63 - lz, so the
-    # desired LEFT shift is lz - 8 (negative = the add-carry case, a
-    # single right shift with sticky).  The left shift is clamped to the
-    # available exponent headroom Ex - 1 (gradual-underflow/subnormal
-    # results then leave _round_pack's e_field at 0).
-    iszero = (lo(Msum) | hi(Msum)) == 0
-    nz = jnp.where(iszero[..., None], _pow2limb(55, shape), Msum)
-    lz = _clz64(nz)
+    # normalize so the MSB sits at bit 55 (see _round_pack_t contract):
+    # left shift = lz - 8, clamped to the exponent headroom Ex - 1
+    iszero = (Msum[0] | Msum[1]) == 0
+    nz = _where_t(iszero, _pow2_t(55, shape), Msum)
+    lz = _clz64_t(nz)
     left = jnp.minimum(lz - 8, jnp.maximum(Ex - 1, 0))  # in [-1, 55]
     shr_amt = jnp.maximum(-left, 0)       # at most 1 (carry case)
     shl_amt = jnp.maximum(left, 0)
-    stick2 = (shr_amt > 0) & ((lo(nz) & U32(1)) != 0)
-    Mn = shr(nz, shr_amt.astype(U32))
-    Mn = shl(Mn, shl_amt.astype(U32))
-    Mn = or_(Mn, make(stick2.astype(U32), jnp.zeros(shape, U32)))
+    stick2 = (shr_amt > 0) & ((nz[0] & U32(1)) != 0)
+    Mn = _shr_t(nz, shr_amt.astype(U32))
+    Mn = _shl_t(Mn, shl_amt.astype(U32))
+    Mn = (Mn[0] | stick2.astype(U32), Mn[1])
     Er = Ex - left
 
     szero = sx & sy                       # exact-cancel / zero sign: +0
-    res = _round_pack(jnp.where(iszero, szero, sx),
-                      jnp.where(iszero, 1, Er),
-                      jnp.where(iszero[..., None], zeros(shape), Mn))
+    rl, rh = _round_pack_t(jnp.where(iszero, szero, sx),
+                           jnp.where(iszero, 1, Er),
+                           _where_t(iszero, zero_t, Mn))
 
     # specials
-    a_nan, b_nan = f64_is_nan(a), f64_is_nan(b)
-    ea = ((hi(a) >> 20) & U32(0x7FF))
-    eb_ = ((hi(b) >> 20) & U32(0x7FF))
-    a_inf = (ea == U32(0x7FF)) & ~a_nan
-    b_inf = (eb_ == U32(0x7FF)) & ~b_nan
-    qnan = make(jnp.zeros(shape, U32), jnp.full(shape, 0x7FF80000, U32))
-    inf_conflict = a_inf & b_inf & ((hi(a) >> 31) != (hi(b) >> 31))
-    any_nan = a_nan | b_nan | inf_conflict
-    res = jnp.where(a_inf[..., None], a, res)
-    res = jnp.where((b_inf & ~a_inf)[..., None], b, res)
-    res = jnp.where(any_nan[..., None], qnan, res)
-    return res
+    a_nan_ = (((ah >> 20) & U32(0x7FF)) == U32(0x7FF)) & \
+        (((ah & U32(0xFFFFF)) != 0) | (al != 0))
+    b_nan_ = (((bh >> 20) & U32(0x7FF)) == U32(0x7FF)) & \
+        (((bh & U32(0xFFFFF)) != 0) | (bl != 0))
+    a_inf = (((ah >> 20) & U32(0x7FF)) == U32(0x7FF)) & ~a_nan_
+    b_inf = (((bh >> 20) & U32(0x7FF)) == U32(0x7FF)) & ~b_nan_
+    inf_conflict = a_inf & b_inf & ((ah >> 31) != (bh >> 31))
+    any_nan = a_nan_ | b_nan_ | inf_conflict
+    rl = jnp.where(a_inf, al, rl)
+    rh = jnp.where(a_inf, ah, rh)
+    rl = jnp.where(b_inf & ~a_inf, bl, rl)
+    rh = jnp.where(b_inf & ~a_inf, bh, rh)
+    rl = jnp.where(any_nan, U32(0), rl)
+    rh = jnp.where(any_nan, U32(0x7FF80000), rh)
+    return make(rl, rh)
 
 
 def f64_sub_exact(a, b):
@@ -679,36 +704,35 @@ def f64_sub_exact(a, b):
 
 
 def f64_mul_exact(a, b):
-    """Exact IEEE754 RNE a * b on limb pairs."""
-    shape = lo(a).shape
-    sa, Ea, ma = _f64_parts(a)
-    sb, Eb, mb = _f64_parts(b)
-    s = sa ^ sb
+    """Exact IEEE754 RNE a * b on limb pairs (tuple kernels inside)."""
+    al, ah = lo(a), hi(a)
+    bl, bh = lo(b), hi(b)
+    shape = al.shape
+    zero_t = (jnp.zeros(shape, U32), jnp.zeros(shape, U32))
+    sa, Ea, ma = _f64_parts_t(al, ah)
+    sb, Eb, mb = _f64_parts_t(bl, bh)
+    s_ = sa ^ sb
 
     # pre-normalize subnormal mantissas so m in [2^52, 2^53)
     def prenorm(E, m):
-        nzm = (lo(m) | hi(m)) != 0
-        safe = jnp.where(nzm[..., None], m, _pow2limb(52, shape))
-        lz = _clz64(safe)                 # want lz == 11
+        nzm = (m[0] | m[1]) != 0
+        safe = _where_t(nzm, m, _pow2_t(52, shape))
+        lz = _clz64_t(safe)               # want lz == 11
         k = jnp.maximum(lz - 11, 0)
-        return E - k, shl(safe, jnp.minimum(k, 63).astype(U32)), nzm
+        return E - k, _shl_t(safe, jnp.minimum(k, 63).astype(U32)), nzm
 
     Ea, ma, a_nzm = prenorm(Ea, ma)
     Eb, mb, b_nzm = prenorm(Eb, mb)
 
     # 106-bit product of two 53-bit mantissas in four u32 limbs
-    al, ah = lo(ma), hi(ma)
-    bl, bh = lo(mb), hi(mb)
-    p0l, p0h = _mul32x32(al, bl)
-    p1l, p1h = _mul32x32(al, bh)
-    p2l, p2h = _mul32x32(ah, bl)
-    p3l, p3h = _mul32x32(ah, bh)
-    # limb1 accumulation
+    p0l, p0h = _mul32x32(ma[0], mb[0])
+    p1l, p1h = _mul32x32(ma[0], mb[1])
+    p2l, p2h = _mul32x32(ma[1], mb[0])
+    p3l, p3h = _mul32x32(ma[1], mb[1])
     t1 = p0h + p1l
     c1 = (t1 < p0h).astype(U32)
     t1b = t1 + p2l
     c1 = c1 + (t1b < t1).astype(U32)
-    # limb2
     t2 = p1h + p2h
     c2 = (t2 < p1h).astype(U32)
     t2b = t2 + p3l
@@ -718,42 +742,43 @@ def f64_mul_exact(a, b):
     t3 = p3h + c2
     P = (p0l, t1b, t2c, t3)               # little-endian u32 limbs
 
-    # product MSB is at bit 104 or 105 (mantissas are normalized); shift
-    # the 56-bit (mant53|grs) window down to bit 55 and fold the dropped
-    # low bits into sticky.  value = P * 2^(Ea+Eb-2150) and _round_pack
-    # expects Mn * 2^(Er-1078) with Mn = P >> (49 + msb105), so
-    # Er = Ea + Eb - 1023 + msb105.
+    # product MSB is at bit 104 or 105; shift the 56-bit (mant53|grs)
+    # window down to bit 55 and fold the dropped low bits into sticky.
+    # Er = Ea + Eb - 1023 + msb105 (see _round_pack_t contract).
     msb105 = (t3 >> 9) != 0               # product bit 105 == t3 bit 9
     sh32 = jnp.where(msb105, U32(18), U32(17))   # (49|50) - 32
     lo_ = (P[1] >> sh32) | (P[2] << (U32(32) - sh32))
     hi_ = (P[2] >> sh32) | (P[3] << (U32(32) - sh32))
-    Mn = make(lo_, hi_ & U32(0x00FFFFFF))
     lost_low = (P[0] != 0) | ((P[1] & ((U32(1) << sh32) - U32(1))) != 0)
-    Mn = or_(Mn, make(lost_low.astype(U32), jnp.zeros(shape, U32)))
+    Mn = (lo_ | lost_low.astype(U32), hi_ & U32(0x00FFFFFF))
     Er = Ea + Eb - 1023 + msb105.astype(jnp.int32)
-    res = _round_pack(s, Er, Mn)
+    rl, rh = _round_pack_t(s_, Er, Mn)
 
     # zero inputs -> signed zero
     prod_zero = ~(a_nzm & b_nzm)
-    zero_res = _f64_assemble(s, jnp.zeros(shape, jnp.int32), zeros(shape))
-    res = jnp.where(prod_zero[..., None], zero_res, res)
+    zl, zh = _f64_assemble_t(s_, jnp.zeros(shape, jnp.int32), zero_t)
+    rl = jnp.where(prod_zero, zl, rl)
+    rh = jnp.where(prod_zero, zh, rh)
 
     # specials
-    a_nan, b_nan = f64_is_nan(a), f64_is_nan(b)
-    ea = (hi(a) >> 20) & U32(0x7FF)
-    eb_ = (hi(b) >> 20) & U32(0x7FF)
-    a_inf = (ea == U32(0x7FF)) & ~a_nan
-    b_inf = (eb_ == U32(0x7FF)) & ~b_nan
-    a_zero = f64_is_zero(a)
-    b_zero = f64_is_zero(b)
+    a_nan_ = (((ah >> 20) & U32(0x7FF)) == U32(0x7FF)) & \
+        (((ah & U32(0xFFFFF)) != 0) | (al != 0))
+    b_nan_ = (((bh >> 20) & U32(0x7FF)) == U32(0x7FF)) & \
+        (((bh & U32(0xFFFFF)) != 0) | (bl != 0))
+    a_inf = (((ah >> 20) & U32(0x7FF)) == U32(0x7FF)) & ~a_nan_
+    b_inf = (((bh >> 20) & U32(0x7FF)) == U32(0x7FF)) & ~b_nan_
+    a_zero = ((ah & U32(0x7FFFFFFF)) == 0) & (al == 0)
+    b_zero = ((bh & U32(0x7FFFFFFF)) == 0) & (bl == 0)
     inf_zero = (a_inf & b_zero) | (b_inf & a_zero)
-    any_nan = a_nan | b_nan | inf_zero
-    inf_res = _f64_assemble(s, jnp.full(shape, 0x7FF, jnp.int32),
-                            zeros(shape))
-    res = jnp.where(((a_inf | b_inf) & ~inf_zero)[..., None], inf_res, res)
-    qnan = make(jnp.zeros(shape, U32), jnp.full(shape, 0x7FF80000, U32))
-    res = jnp.where(any_nan[..., None], qnan, res)
-    return res
+    any_nan = a_nan_ | b_nan_ | inf_zero
+    il, ih = _f64_assemble_t(s_, jnp.full(shape, 0x7FF, jnp.int32),
+                             zero_t)
+    is_inf = (a_inf | b_inf) & ~inf_zero
+    rl = jnp.where(is_inf, il, rl)
+    rh = jnp.where(is_inf, ih, rh)
+    rl = jnp.where(any_nan, U32(0), rl)
+    rh = jnp.where(any_nan, U32(0x7FF80000), rh)
+    return make(rl, rh)
 
 
 def f64_to_value(a) -> jax.Array:
