@@ -75,3 +75,4 @@ from .core import validate  # noqa: F401  (untrusted-input validation)
 from .core.validate import check_batch, check_column, validate_column  # noqa: F401
 from .interop import cdata  # noqa: F401  (Arrow C Data Interface)
 from .rowformat.decode import RowConverter  # noqa: F401
+from . import integration  # noqa: F401  (archery JSON test format)

@@ -322,6 +322,32 @@ class FlightServer:
                 total_records=sum(int(b.length) for b in batches),
             )
 
+    def do_action(self, action_type: str, body: bytes):
+        """Application hook (reference FlightService::do_action): return
+        an iterable of result-body byte strings."""
+        raise st.ComputeError(f"unsupported action {action_type!r}")
+
+    def list_actions(self):
+        """Return [(type, description)] (reference ListActions)."""
+        return []
+
+    def _do_action(self, request: bytes, context):
+        # Action{type=1 string, body=2 bytes} -> stream of Result{body=1}
+        d = _parse(request)
+        action_type = bytes(_first(d, 1, b"")).decode()
+        body = bytes(_first(d, 2, b""))
+        for result_body in self.do_action(action_type, body):
+            out = bytearray()
+            _w_bytes(out, 1, result_body)
+            yield bytes(out)
+
+    def _list_actions(self, request: bytes, context):
+        for name, desc in self.list_actions():
+            out = bytearray()
+            _w_bytes(out, 1, name.encode())
+            _w_bytes(out, 2, desc.encode())
+            yield bytes(out)
+
     def serve(self, port: int = 0) -> int:
         """Start on localhost; returns the bound port."""
         import grpc
@@ -329,6 +355,12 @@ class FlightServer:
 
         ident = lambda x: x
         handlers = {
+            "DoAction": grpc.unary_stream_rpc_method_handler(
+                self._do_action, request_deserializer=ident, response_serializer=ident
+            ),
+            "ListActions": grpc.unary_stream_rpc_method_handler(
+                self._list_actions, request_deserializer=ident, response_serializer=ident
+            ),
             "DoGet": grpc.unary_stream_rpc_method_handler(
                 self._do_get, request_deserializer=ident, response_serializer=ident
             ),
@@ -399,6 +431,22 @@ class FlightClient:
         self._exchange_rpc = self._channel.stream_stream(
             f"/{SERVICE}/DoExchange", request_serializer=ident, response_deserializer=ident
         )
+        self._action_rpc = self._channel.unary_stream(
+            f"/{SERVICE}/DoAction", request_serializer=ident,
+            response_deserializer=ident
+        )
+
+    def do_action(self, action_type: str, body: bytes = b"") -> List[bytes]:
+        """reference client.rs do_action: returns the Result bodies."""
+        req = bytearray()
+        _w_bytes(req, 1, action_type.encode())
+        if body:
+            _w_bytes(req, 2, body)
+        out = []
+        for chunk in self._action_rpc(bytes(req)):
+            d = _parse(chunk)
+            out.append(bytes(_first(d, 1, b"")))
+        return out
 
     def do_get(self, ticket: bytes) -> List[bt.RecordBatch]:
         """reference client.rs:213."""

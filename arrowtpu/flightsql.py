@@ -61,6 +61,34 @@ def command_get_tables() -> bytes:
     return _any_pack("CommandGetTables", b"")
 
 
+def command_get_catalogs() -> bytes:
+    return _any_pack("CommandGetCatalogs", b"")
+
+
+def command_get_db_schemas() -> bytes:
+    return _any_pack("CommandGetDbSchemas", b"")
+
+
+def command_prepared_statement_query(handle: bytes) -> bytes:
+    """CommandPreparedStatementQuery{prepared_statement_handle=1}."""
+    inner = bytearray()
+    _w_bytes(inner, 1, handle)
+    return _any_pack("CommandPreparedStatementQuery", bytes(inner))
+
+
+def action_create_prepared_statement(query: str) -> bytes:
+    """ActionCreatePreparedStatementRequest{query=1} wrapped in Any."""
+    inner = bytearray()
+    _w_bytes(inner, 1, query.encode())
+    return _any_pack("ActionCreatePreparedStatementRequest", bytes(inner))
+
+
+def action_close_prepared_statement(handle: bytes) -> bytes:
+    inner = bytearray()
+    _w_bytes(inner, 1, handle)
+    return _any_pack("ActionClosePreparedStatementRequest", bytes(inner))
+
+
 # ---------------------------------------------------------------------------
 # minimal SELECT evaluator (engine kernels do the work)
 # ---------------------------------------------------------------------------
@@ -135,11 +163,49 @@ class FlightSqlServer(FlightServer):
         super().__init__()
         self.sql_tables: Dict[str, bt.RecordBatch] = tables or {}
         self._statements: Dict[bytes, bt.RecordBatch] = {}
+        self._prepared: Dict[bytes, str] = {}  # handle -> SQL text
         self._next = 0
         self._lock = threading.Lock()
 
     def register_table(self, name: str, batch: bt.RecordBatch):
         self.sql_tables[name] = batch
+
+    # -- prepared statements (reference sql/server.rs do_action_create_
+    # prepared_statement / FlightSqlService ActionClosePreparedStatement)
+    def do_action(self, action_type: str, body: bytes):
+        if action_type == "CreatePreparedStatement":
+            name, payload = _any_unpack(body)
+            if name != "ActionCreatePreparedStatementRequest":
+                raise st.ComputeError(f"flightsql: bad action body {name}")
+            sql = bytes(_first(_parse(payload), 1)).decode()
+            # validate eagerly so prepare() fails fast on bad SQL
+            dataset = execute_select(self.sql_tables, sql)
+            with self._lock:
+                handle = f"prep-{self._next}".encode()
+                self._next += 1
+                self._prepared[handle] = sql
+            from .formats import ipc as _ipc
+
+            result = bytearray()
+            _w_bytes(result, 1, handle)
+            _w_bytes(result, 2,
+                     _ipc.encode_schema_message(dataset.schema, {}))
+            yield _any_pack("ActionCreatePreparedStatementResult",
+                            bytes(result))
+            return
+        if action_type == "ClosePreparedStatement":
+            name, payload = _any_unpack(body)
+            handle = bytes(_first(_parse(payload), 1))
+            with self._lock:
+                self._prepared.pop(handle, None)
+            return
+        yield from super().do_action(action_type, body)
+
+    def list_actions(self):
+        return [("CreatePreparedStatement",
+                 "Creates a reusable prepared statement resource"),
+                ("ClosePreparedStatement",
+                 "Closes a reusable prepared statement resource")]
 
     def _get_flight_info(self, request: bytes, context):
         desc = __import__("arrowtpu.flight", fromlist=["decode_descriptor"]) \
@@ -159,10 +225,31 @@ class FlightSqlServer(FlightServer):
                     result.schema, request,
                     ticket_statement_query(handle),
                     total_records=int(result.length))
-            if name == "CommandGetTables":
-                listing = self._tables_listing()
+            if name == "CommandPreparedStatementQuery":
+                handle = bytes(_first(_parse(payload), 1))
+                sql = self._prepared.get(handle)
+                if sql is None:
+                    raise st.ComputeError(
+                        "flightsql: unknown prepared statement handle")
+                result = execute_select(self.sql_tables, sql)
                 with self._lock:
-                    handle = f"tables-{self._next}".encode()
+                    th = f"stmt-{self._next}".encode()
+                    self._next += 1
+                    self._statements[th] = result
+                from .flight import encode_flight_info
+
+                return encode_flight_info(
+                    result.schema, request, ticket_statement_query(th),
+                    total_records=int(result.length))
+            if name in ("CommandGetTables", "CommandGetCatalogs",
+                        "CommandGetDbSchemas"):
+                listing = {
+                    "CommandGetTables": self._tables_listing,
+                    "CommandGetCatalogs": self._catalogs_listing,
+                    "CommandGetDbSchemas": self._db_schemas_listing,
+                }[name]()
+                with self._lock:
+                    handle = f"meta-{self._next}".encode()
                     self._next += 1
                     self._statements[handle] = listing
                 from .flight import encode_flight_info
@@ -202,6 +289,25 @@ class FlightSqlServer(FlightServer):
              ccol.from_pylist(names, st.utf8)),
         )
 
+    def _catalogs_listing(self) -> bt.RecordBatch:
+        """reference sql/metadata/catalogs.rs GetCatalogsBuilder schema."""
+        from .core import column as ccol
+
+        return bt.RecordBatch(
+            st.Schema((st.Field("catalog_name", st.utf8, False),)),
+            (ccol.from_pylist(["main"], st.utf8),))
+
+    def _db_schemas_listing(self) -> bt.RecordBatch:
+        """reference sql/metadata/db_schemas.rs GetDbSchemasBuilder."""
+        from .core import column as ccol
+
+        return bt.RecordBatch(
+            st.Schema((st.Field("catalog_name", st.utf8),
+                       st.Field("db_schema_name", st.utf8, False))),
+            (ccol.from_pylist(["main"], st.utf8),
+             ccol.from_pylist(["public"], st.utf8)),
+        )
+
 
 class FlightSqlClient:
     """reference sql/client.rs FlightSqlServiceClient: execute() runs
@@ -222,6 +328,20 @@ class FlightSqlClient:
         ticket = decode_ticket(bytes(_first(_parse(bytes(endpoints[0])), 1)))
         return self._inner.do_get(ticket)
 
+    def prepare(self, sql: str) -> "PreparedStatement":
+        """reference sql/client.rs prepare(): DoAction
+        CreatePreparedStatement -> handle + dataset schema."""
+        results = self._inner.do_action(
+            "CreatePreparedStatement", action_create_prepared_statement(sql))
+        if not results:
+            raise st.ComputeError("flightsql: prepare returned no result")
+        name, payload = _any_unpack(results[0])
+        if name != "ActionCreatePreparedStatementResult":
+            raise st.ComputeError(f"flightsql: unexpected result {name}")
+        d = _parse(payload)
+        handle = bytes(_first(d, 1))
+        return PreparedStatement(self, handle)
+
     def get_tables(self) -> List[str]:
         raw = self._inner._info(encode_descriptor(cmd=command_get_tables()))
         d = _parse(raw)
@@ -237,3 +357,31 @@ class FlightSqlClient:
 
     def close(self):
         self._inner.close()
+
+
+class PreparedStatement:
+    """Client handle for a server-side prepared statement (reference
+    sql/client.rs PreparedStatement: execute() -> FlightInfo -> DoGet;
+    close() -> DoAction ClosePreparedStatement)."""
+
+    def __init__(self, client: FlightSqlClient, handle: bytes):
+        self._client = client
+        self.handle = handle
+
+    def execute(self) -> List[bt.RecordBatch]:
+        raw = self._client._inner._info(encode_descriptor(
+            cmd=command_prepared_statement_query(self.handle)))
+        d = _parse(raw)
+        endpoints = d.get(3, [])
+        if not endpoints:
+            return []
+        from .flight import decode_ticket
+
+        ticket = decode_ticket(
+            bytes(_first(_parse(bytes(endpoints[0])), 1)))
+        return self._client._inner.do_get(ticket)
+
+    def close(self) -> None:
+        self._client._inner.do_action(
+            "ClosePreparedStatement",
+            action_close_prepared_statement(self.handle))

@@ -24,4 +24,9 @@ from .parquet_scan import (ArrowPredicate, ColumnPredicate,  # noqa: E402,F401
                            ScanMetrics, scan_parquet)
 
 from . import avro  # noqa: E402,F401
+from . import parquet_crypto  # noqa: E402,F401
+from . import parquet_push  # noqa: E402,F401
+from .parquet_crypto import (FileDecryptionProperties,  # noqa: E402,F401
+                             FileEncryptionProperties)
+from .parquet_push import ParquetPushDecoder  # noqa: E402,F401
 from .avro import AvroFile, read_avro, write_avro  # noqa: E402,F401
