@@ -39,7 +39,7 @@ from ..core import batch as bt
 from ..core import bitmap as bm
 from ..core import column as col
 from ..pallas import compact as pc
-from ..pallas import compact2 as pc2
+from ..pallas import compact3 as pc3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,10 +114,11 @@ def _pallas_eligible(values: jax.Array, capacity: int) -> bool:
 def _pallas_compact(values: jax.Array, plan: FilterPlan) -> jax.Array:
     """Compact (cap,) or (cap, W) values through the Pallas kernels.
 
-    4-byte-word planes run the single-pass v2 kernel (pallas/compact2.py):
-    keep arrives as a u8 vector whose materialization fuses with the
-    unpack of the packed plan words, the selected count comes from the
-    plan's popcount, and there is no tile_info prefix prepass.  Byte
+    4-byte-word planes run the v3 kernel (pallas/compact3.py): keep
+    arrives as a u8 vector whose materialization fuses with the unpack of
+    the packed plan words; per-tile output offsets come from a fused XLA
+    prefix pass (scalar-prefetched, so the kernel grid has no serial
+    position chain); data planes move via hardware lane gathers.  Byte
     planes (u8/bool) stay on the v1 kernel.  Multi-word rows (64-bit limb
     pairs, string views) compact all W planes in ONE kernel call with
     shared movement bookkeeping.
@@ -128,7 +129,7 @@ def _pallas_compact(values: jax.Array, plan: FilterPlan) -> jax.Array:
     n = values.shape[0]
 
     def go32(planes):  # (P, n) u32 -> (P, n) compacted
-        return pc2.compact_planes(planes, keep_u8)
+        return pc3.compact_planes(planes, keep_u8)
 
     def go8(plane8):  # (n,) u8 -> (n,) compacted (v1 byte kernel)
         tile_r = pc.pick_tile_r(n)

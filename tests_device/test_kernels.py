@@ -62,6 +62,41 @@ class TestPallasCompactCompiled:
             assert np.array_equal(out[p, :k], planes[p][m]), f"plane {p}"
             assert not out[p, k:].any()
 
+    @pytest.mark.parametrize("P", [1, 2, 4, 8, 16])
+    @pytest.mark.parametrize("n", [65536, 65536 * 16])
+    def test_compact3_plane_count_sweep(self, rng, P, n):
+        """v3 (round 5: gather movement + prefetched offsets + slab
+        scatter) must match v2's contract across plane counts, densities
+        and the VMEM-budget chunked path."""
+        from arrowtpu.pallas import compact3 as pc3
+
+        planes = rng.integers(0, 2**32, (P, n), dtype=np.uint32)
+        keep = (rng.random(n) < 0.4).astype(np.uint8)
+        out = pc3.compact_planes(jnp.asarray(planes), jnp.asarray(keep))
+        out = np.asarray(jax.device_get(out))
+        m = keep.astype(bool)
+        k = int(m.sum())
+        for p in range(P):
+            assert np.array_equal(out[p, :k], planes[p][m]), f"plane {p}"
+            assert not out[p, k:].any()
+
+    @pytest.mark.parametrize("dens", [0.0, 0.02, 0.5, 0.96, 1.0])
+    def test_compact3_density_sweep(self, rng, dens):
+        """Slab-scatter boundary cases: the conditional upper window
+        slab and the ladder DMA heights at extreme selectivities."""
+        from arrowtpu.pallas import compact3 as pc3
+
+        n = 65536 * 4
+        planes = rng.integers(0, 2**32, (2, n), dtype=np.uint32)
+        keep = (rng.random(n) < dens).astype(np.uint8)
+        out = np.asarray(jax.device_get(
+            pc3.compact_planes(jnp.asarray(planes), jnp.asarray(keep))))
+        m = keep.astype(bool)
+        k = int(m.sum())
+        for p in range(2):
+            assert np.array_equal(out[p, :k], planes[p][m]), f"plane {p}"
+            assert not out[p, k:].any()
+
     def test_multi_plane_shared_mask(self, rng):
         n = 65536
         planes = rng.integers(0, 2**32, (3, n), dtype=np.uint32)
