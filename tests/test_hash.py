@@ -373,3 +373,70 @@ class TestDenseGroupBy:
         for f in got.schema.fields:
             assert got[f.name].to_pylist() == want[f.name].to_pylist(), \
                 f.name
+
+
+class TestPlanGroupBy:
+    """plan_group_by must agree with group_by on every strategy tier."""
+
+    @pytest.mark.parametrize("card,vrange", [
+        (10, 100),            # half-bucket narrow tier
+        (10, 10**12),         # half-bucket chunked tier
+        (200, 100),           # full-bucket narrow tier (DENSE=32 in CI
+                              # makes this the sort tier there)
+        (100000, 100),        # sort tier
+    ])
+    def test_plan_matches_group_by(self, card, vrange):
+        import numpy as np
+
+        from arrowtpu.ops import groupby
+
+        rng = np.random.default_rng(card + vrange % 97)
+        n = 4096
+        keys = rng.integers(0, card, n, dtype=np.int32)
+        vals = rng.integers(-vrange, vrange, n)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n),
+        })
+        aggs = [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"),
+                ("v", "mean")]
+        want = groupby.group_by(b, ["k"], aggs)
+        plan = groupby.plan_group_by(b, ["k"], aggs)
+        got = plan(b)
+        worder = np.argsort(np.asarray(want["k"].to_pylist()))
+        gorder = np.argsort(np.asarray(got["k"].to_pylist()))
+        for name in ("k", "sum_v", "count_v", "min_v", "max_v", "mean_v"):
+            wv = np.asarray(want[name].to_pylist())[worder]
+            gv = np.asarray(got[name].to_pylist())[gorder]
+            assert np.array_equal(wv, gv), name
+
+    def test_plan_with_nullable_key_and_values(self):
+        import numpy as np
+
+        from arrowtpu.ops import groupby
+
+        rng = np.random.default_rng(7)
+        n = 2048
+        keys = rng.integers(0, 6, n, dtype=np.int32)
+        kvalid = rng.random(n) > 0.2
+        vals = rng.integers(-50, 50, n)
+        vvalid = rng.random(n) > 0.3
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32,
+                              validity=at.bitmap.from_numpy_bools(kvalid),
+                              length=n),
+            "v": at.primitive(vals, at.schema.int64,
+                              validity=at.bitmap.from_numpy_bools(vvalid),
+                              length=n),
+        })
+        aggs = [("v", "sum"), ("v", "count"), ("v", "min")]
+        want = groupby.group_by(b, ["k"], aggs)
+        got = groupby.plan_group_by(b, ["k"], aggs)(b)
+        assert sorted(map(repr, zip(want["k"].to_pylist(),
+                                    want["sum_v"].to_pylist(),
+                                    want["count_v"].to_pylist(),
+                                    want["min_v"].to_pylist()))) == \
+            sorted(map(repr, zip(got["k"].to_pylist(),
+                                 got["sum_v"].to_pylist(),
+                                 got["count_v"].to_pylist(),
+                                 got["min_v"].to_pylist())))

@@ -157,3 +157,36 @@ def test_pyarrow_reads_our_encrypted(tmp_path):
     t = papq.ParquetFile(path, decryption_properties=dp).read()
     assert t.column("a").to_pylist() == b["a"].to_pylist() * 2
     assert t.column("s").to_pylist() == b["s"].to_pylist() * 2
+
+
+def test_plaintext_footer_column_keys_only(tmp_path):
+    """Round-4 advisor: a plaintext-footer file whose columns carry only
+    column keys must be readable by supplying column_keys alone — the
+    footer key must not be resolved unless a chunk actually uses
+    ENCRYPTION_WITH_FOOTER_KEY."""
+    factory = _factory()
+    conf = pe.KmsConnectionConfig()
+    enc_cfg = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["a"]},
+        encryption_algorithm="AES_GCM_V1", double_wrapping=False,
+        plaintext_footer=True)
+    fep = factory.file_encryption_properties(conf, enc_cfg)
+    t = pa.table({"a": list(range(300)),
+                  "b": [f"s{i}" for i in range(300)]})
+    path = str(tmp_path / "pa_ptf.parquet")
+    with papq.ParquetWriter(path, t.schema, encryption_properties=fep,
+                            compression="ZSTD") as w:
+        w.write_table(t)
+
+    def col_only_retriever(km: bytes) -> bytes:
+        j = json.loads(km)
+        if j["masterKeyID"] == "kf":
+            raise AssertionError(
+                "footer key requested for a column-keys-only read")
+        return _unwrap(j["wrappedDEK"], j["masterKeyID"])
+
+    got = pq.read_parquet(
+        path, decryption=pcx.FileDecryptionProperties(
+            key_retriever=col_only_retriever))
+    assert got["a"].to_pylist() == t.column("a").to_pylist()
+    assert got["b"].to_pylist() == t.column("b").to_pylist()
