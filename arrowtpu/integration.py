@@ -533,10 +533,23 @@ def to_json(batches: List[bt.RecordBatch]) -> Dict[str, Any]:
     out_batches = []
     for b_i, b in enumerate(batches):
         cols = []
+        later: List[Dict[str, Any]] = []
         for f, c in zip(schema.fields, b.columns):
             cols.append(column_to_json(f.name, f.dtype, c,
-                                       dict_batches if b_i == 0 else [],
+                                       dict_batches if b_i == 0 else later,
                                        dict_ids, field_obj=f))
+        # the document has ONE dictionaries section keyed by id; batches
+        # past the first must share batch 0's dictionaries exactly (the
+        # IPC delta-dictionary mechanism has no JSON counterpart) —
+        # silently dropping a differing dictionary would round-trip wrong
+        # data (round-4 advisor finding)
+        by_id = {d["id"]: d["data"] for d in dict_batches}
+        for d in later:
+            if d["data"] != by_id.get(d["id"]):
+                raise st.ArrowTpuError(
+                    "integration: dictionary for id %r differs across "
+                    "batches; archery JSON documents require one shared "
+                    "dictionary per id" % d["id"])
         out_batches.append(
             {"count": b.columns[0].concrete_length() if b.columns else 0,
              "columns": cols})

@@ -154,11 +154,17 @@ def _list_values_equal(a: col.ListViewColumn, b: col.ListViewColumn,
     gather working set bounded instead of materializing
     (rows, child_capacity).)"""
     n = ok.shape[0]
-    max_size = int(max(a.child.capacity, b.child.capacity, 1))
+    cap_bound = int(max(a.child.capacity, b.child.capacity, 1))
     sizes = jnp.where(ok, a.sizes[:n], 0)[:, None]
-    res = jnp.asarray(True)
-    for off in range(0, max_size, _GATHER_CHUNK):
-        w = min(_GATHER_CHUNK, max_size - off)
+    # the chunk loop is a while_loop bounded by the RUNTIME max list size
+    # (round-4 advisor finding: a static unroll to child.capacity emitted
+    # thousands of (rows, 4096) gathers and did O(rows x child_capacity)
+    # work even when every list is short)
+    max_sz = jnp.max(jnp.where(live[:, None], sizes, 0)).astype(jnp.int32)
+    w = min(_GATHER_CHUNK, cap_bound)
+
+    def body(state):
+        off, res = state
         ar = _gather_list(a, n, off, w)
         br = _gather_list(b, n, off, w)
         pos = (off + jnp.arange(w, dtype=jnp.int32))[None, :]
@@ -167,7 +173,10 @@ def _list_values_equal(a: col.ListViewColumn, b: col.ListViewColumn,
         if eq.ndim == 3:  # multi-word elements (64-bit limb pairs)
             eq = jnp.all(eq, axis=-1)
         eq = eq | ~within
-        res = res & jnp.all(jnp.all(eq, axis=-1) | ~live)
+        return (off + w, res & jnp.all(jnp.all(eq, axis=-1) | ~live))
+
+    _, res = jax.lax.while_loop(
+        lambda s: s[0] < max_sz, body, (jnp.int32(0), jnp.asarray(True)))
     return res
 
 

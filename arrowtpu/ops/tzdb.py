@@ -12,10 +12,13 @@ zone), with no device gather and no host round-trip.
 The TZif binary format is implemented from RFC 8536 (the stdlib's
 zoneinfo does not expose raw transitions).  Files come from the host's
 tzdata (/usr/share/zoneinfo).  Version 2+ blocks (64-bit transition
-times) are used when present.  Instants beyond the last transition use
-the last transition's offset (TZif footer POSIX rules for the far
-future are not evaluated; tzdata ships explicit transitions through
-2037 for DST zones).
+times) are used when present.  Instants beyond the last explicit
+transition are governed by the version-2+ footer's POSIX TZ string
+(RFC 8536 §3.3): recurring DST transitions are synthesized through year
+_FOOTER_HORIZON_YEAR and appended to the table, so slim-format tzdata
+(zic -b slim, the upstream default since 2020b) and far-future instants
+get correct offsets.  The pre-first-transition offset uses the first
+non-DST type per RFC 8536 §3.2 (not type 0).
 """
 
 from __future__ import annotations
@@ -58,6 +61,182 @@ def _parse_fixed(tz: str):
     return sign * (h * 3600 + m * 60 + s)
 
 
+_FOOTER_HORIZON_YEAR = 2200
+
+
+def _parse_posix_tz(tzstr: str):
+    """RFC 8536 §3.3 / POSIX TZ string: returns
+    (std_utoff, dst_utoff|None, start_rule, end_rule) where each rule is
+    (kind, a, b, c, seconds) with kind in {'M', 'J', 'n'}.  POSIX offsets
+    are west-positive; returned utoffs are east-positive (UT offsets)."""
+    s = tzstr.strip()
+    if not s or s.startswith(":"):
+        return None
+    pos = 0
+
+    def name():
+        nonlocal pos
+        if pos < len(s) and s[pos] == "<":
+            end = s.find(">", pos)
+            if end < 0:
+                return None
+            nm = s[pos + 1:end]
+            pos = end + 1
+            return nm
+        p0 = pos
+        while pos < len(s) and (s[pos].isalpha()):
+            pos += 1
+        return s[p0:pos] if pos > p0 else None
+
+    def offset(default=None):
+        """[+-]hh[:mm[:ss]] -> seconds, or default when absent."""
+        nonlocal pos
+        p0 = pos
+        sign = 1
+        if pos < len(s) and s[pos] in "+-":
+            sign = -1 if s[pos] == "-" else 1
+            pos += 1
+        d0 = pos
+        while pos < len(s) and s[pos].isdigit():
+            pos += 1
+        if pos == d0:
+            pos = p0
+            return default
+        h = int(s[d0:pos])
+        m = sec = 0
+        for slot in range(2):
+            if pos < len(s) and s[pos] == ":":
+                pos += 1
+                d0 = pos
+                while pos < len(s) and s[pos].isdigit():
+                    pos += 1
+                v = int(s[d0:pos] or "0")
+                if slot == 0:
+                    m = v
+                else:
+                    sec = v
+        return sign * (h * 3600 + m * 60 + sec)
+
+    def rule():
+        nonlocal pos
+        if pos < len(s) and s[pos] == ",":
+            pos += 1
+        if pos >= len(s):
+            return None
+        if s[pos] == "M":
+            pos += 1
+            parts = []
+            for i in range(3):
+                d0 = pos
+                while pos < len(s) and s[pos].isdigit():
+                    pos += 1
+                parts.append(int(s[d0:pos]))
+                if i < 2:
+                    if pos >= len(s) or s[pos] != ".":
+                        return None
+                    pos += 1
+            kind, a, b, c = "M", parts[0], parts[1], parts[2]
+        elif s[pos] == "J":
+            pos += 1
+            d0 = pos
+            while pos < len(s) and s[pos].isdigit():
+                pos += 1
+            kind, a, b, c = "J", int(s[d0:pos]), 0, 0
+        else:
+            d0 = pos
+            while pos < len(s) and s[pos].isdigit():
+                pos += 1
+            if pos == d0:
+                return None
+            kind, a, b, c = "n", int(s[d0:pos]), 0, 0
+        t = 2 * 3600
+        if pos < len(s) and s[pos] == "/":
+            pos += 1
+            t = offset(default=2 * 3600)
+        return (kind, a, b, c, t)
+
+    if name() is None:
+        return None
+    std = offset()
+    if std is None:
+        return None
+    std_ut = -std  # POSIX west-positive -> UT offset
+    if pos >= len(s) or s[pos] == ",":
+        return std_ut, None, None, None
+    if name() is None:
+        return None
+    dst = offset(default=std - 3600)  # default: one hour ahead of std
+    dst_ut = -dst
+    start = rule()
+    end = rule()
+    if start is None or end is None:
+        # "std offset dst" with no rules: US rules implied historically;
+        # treat as M3.2.0,M11.1.0 (current US law, what glibc does)
+        start = ("M", 3, 2, 0, 2 * 3600)
+        end = ("M", 11, 1, 0, 2 * 3600)
+    return std_ut, dst_ut, start, end
+
+
+def _rule_local_epoch_days(year: int, rule) -> int:
+    """Days from 1970-01-01 to the rule's local date in `year`."""
+    import datetime as _dt
+
+    kind, a, b, c, _t = rule
+    if kind == "M":
+        # day c (0=Sunday) of week b (1..5, 5=last) of month a
+        first = _dt.date(year, a, 1)
+        # Python weekday(): Monday=0..Sunday=6; POSIX day: Sunday=0
+        first_dow = (first.weekday() + 1) % 7
+        day1 = 1 + (c - first_dow) % 7 + (b - 1) * 7
+        if a == 12:
+            ndays = 31
+        else:
+            ndays = (_dt.date(year, a + 1, 1) - first).days
+        while day1 > ndays:
+            day1 -= 7
+        d = _dt.date(year, a, day1)
+    elif kind == "J":
+        # Jn: 1-based day, Feb 29 never counted
+        d = _dt.date(year, 1, 1) + _dt.timedelta(days=a - 1)
+        if a >= 60 and _dt.date(year, 3, 1).toordinal() - _dt.date(
+                year, 1, 1).toordinal() == 60:
+            d += _dt.timedelta(days=1)  # leap year: skip Feb 29
+    else:
+        # n: 0-based day counting Feb 29
+        d = _dt.date(year, 1, 1) + _dt.timedelta(days=a)
+    return (d - _dt.date(1970, 1, 1)).days
+
+
+def _footer_transitions(tzstr: str, after: int, last_off: int):
+    """Synthesize (times, offsets) past `after` from the footer TZ string.
+    Returns (int64 times[], int32 offsets[]) where offsets[i] applies at
+    t >= times[i]; empty when the footer has no DST rules."""
+    parsed = _parse_posix_tz(tzstr)
+    if parsed is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    std_ut, dst_ut, start, end = parsed
+    if dst_ut is None:
+        if std_ut != last_off:
+            return (np.array([after + 1], np.int64),
+                    np.array([std_ut], np.int32))
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    import datetime as _dt
+
+    y0 = _dt.datetime.utcfromtimestamp(max(min(after, 2**40), -2**40)).year
+    times, offs = [], []
+    for year in range(y0, _FOOTER_HORIZON_YEAR + 1):
+        # start rule's local time is in STD; end rule's in DST
+        t_start = (_rule_local_epoch_days(year, start) * 86400
+                   + start[4] - std_ut)
+        t_end = (_rule_local_epoch_days(year, end) * 86400
+                 + end[4] - dst_ut)
+        for t, off in sorted(((t_start, dst_ut), (t_end, std_ut))):
+            if t > after:
+                times.append(t)
+                offs.append(off)
+    return np.asarray(times, np.int64), np.asarray(offs, np.int32)
+
+
 def _read_tzif(path: str):
     """RFC 8536: returns (transition_times int64[], offsets int32[]) where
     offsets[i] applies to t >= times[i-1] (offsets[0] = before the first
@@ -74,28 +253,47 @@ def _read_tzif(path: str):
         idx = np.frombuffer(buf, np.uint8, timecnt, p)
         p += timecnt
         utoffs = np.zeros(typecnt, np.int32)
+        isdst = np.zeros(typecnt, np.bool_)
         for i in range(typecnt):
-            utoff, _isdst, _di = struct.unpack_from(">iBB", buf, p + 6 * i)
+            utoff, dst, _di = struct.unpack_from(">iBB", buf, p + 6 * i)
             utoffs[i] = utoff
+            isdst[i] = bool(dst)
         p += typecnt * 6 + charcnt + leapcnt * (tsize + 4)
         p += isstdcnt + isutcnt
-        return times, idx, utoffs, p
+        return times, idx, utoffs, isdst, p
 
     if data[:4] != b"TZif":
         raise st.ArrowTpuError(f"tz: not a TZif file: {path}")
     version = data[4:5]
-    times, idx, utoffs, end = parse_block(data, 0, 4, ">i4")
+    times, idx, utoffs, isdst, end = parse_block(data, 0, 4, ">i4")
+    footer = b""
     if version in (b"2", b"3", b"4") and end < len(data) \
             and data[end : end + 4] == b"TZif":
-        times, idx, utoffs, _ = parse_block(data, end, 8, ">i8")
+        times, idx, utoffs, isdst, end2 = parse_block(data, end, 8, ">i8")
+        # RFC 8536 §3.3: "\n" TZ-string "\n" footer after the v2+ block
+        tail = data[end2:]
+        if tail.startswith(b"\n"):
+            nl = tail.find(b"\n", 1)
+            if nl > 0:
+                footer = tail[1:nl]
 
     if len(utoffs) == 0:
         raise st.ArrowTpuError(f"tz: no types in {path}")
-    # initial offset (before the first transition): type 0, matching
-    # zoneinfo/chrono behavior
-    init = utoffs[0]
+    # initial offset (before the first transition): the first non-DST
+    # type per RFC 8536 §3.2 (round-4 advisor finding; type 0 is wrong
+    # for zones whose first listed type is a DST type)
+    std_types = np.flatnonzero(~isdst)
+    init = utoffs[std_types[0]] if std_types.size else utoffs[0]
     seq = utoffs[idx] if len(idx) else np.zeros(0, np.int32)
-    return times, np.concatenate([[init], seq]).astype(np.int32)
+    offs = np.concatenate([[init], seq]).astype(np.int32)
+    if footer:
+        last_t = int(times[-1]) if len(times) else -(2**62)
+        ft, fo = _footer_transitions(footer.decode("ascii", "replace"),
+                                     last_t, int(offs[-1]))
+        if ft.size:
+            times = np.concatenate([times, ft])
+            offs = np.concatenate([offs, fo]).astype(np.int32)
+    return times, offs
 
 
 @functools.lru_cache(maxsize=256)

@@ -156,6 +156,45 @@ class TestTimezoneAware:
             assert np.array_equal(got.astype(np.int64), want), \
                 f"{tz} {part}"
 
+    @pytest.mark.parametrize("tz", ["America/New_York", "Europe/Dublin",
+                                    "Australia/Sydney", "Asia/Kolkata"])
+    def test_far_future_posix_footer_rules(self, tz):
+        """Instants past the last explicit TZif transition (~2037 in fat
+        tzdata, much earlier under zic -b slim) are governed by the
+        footer POSIX TZ string (RFC 8536 §3.3) — checked for 2040-2090
+        timestamps in DST zones (round-4 advisor finding + round-5 ask
+        #9; reference arrow-array/src/timezone.rs via chrono-tz).
+
+        Oracle: stdlib zoneinfo, which evaluates the footer correctly.
+        pyarrow 25.0 is NOT a valid oracle here — it freezes the last
+        explicit TZif transition (America/New_York August 2052 comes
+        back EST), diverging from RFC 8536/chrono-tz behavior."""
+        from zoneinfo import ZoneInfo
+
+        import datetime as _dt
+
+        z = ZoneInfo(tz)
+        rng = np.random.default_rng(12)
+        n = 1200
+        # 2040..2090, dense around March/April + Oct/Nov DST edges
+        ts = rng.integers(2_208_988_800, 3_800_000_000, n)
+        edges = []
+        for year in (2040, 2055, 2080):
+            for m, d in ((3, 9), (4, 6), (10, 5), (11, 2)):
+                base = int(_dt.datetime(
+                    year, m, d, tzinfo=_dt.timezone.utc).timestamp())
+                edges.extend(range(base, base + 4 * 86400, 3600))
+        ts[:len(edges)] = edges[:n]
+        ts_us = ts.astype("int64") * 1_000_000
+        c = at.primitive(ts_us, st.Timestamp("us", tz), length=n)
+        locals_ = [_dt.datetime.fromtimestamp(int(t), z) for t in ts]
+        for part, f in [("day", lambda d: d.day), ("hour", lambda d: d.hour),
+                        ("minute", lambda d: d.minute)]:
+            got = np.asarray(T.date_part(c, part).to_pylist())
+            want = np.asarray([f(d) for d in locals_], np.int64)
+            assert np.array_equal(got.astype(np.int64), want), \
+                f"{tz} {part}"
+
     def test_unknown_tz_raises(self):
         c = at.primitive(np.arange(10, dtype=np.int64),
                          st.Timestamp("s", "Not/AZone"), length=10)
