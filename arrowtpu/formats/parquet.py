@@ -797,6 +797,14 @@ def write_parquet(batches, sink=None, props: WriterProperties = None,
                 crypt = (encryptor, key) if key is not None else None
                 meta = _write_column(sink, c, f.dtype, props, f.nullable,
                                      f.name, crypt, rg_idx, col_ord)
+                from .geospatial import compute_statistics, geo_annotation
+
+                if geo_annotation(f) is not None:
+                    # GEOMETRY/GEOGRAPHY chunks: WKB bbox + type-set
+                    # statistics replace min/max (unordered per spec;
+                    # reference geospatial/accumulator.rs)
+                    meta["geo_stats"] = compute_statistics(c.to_pylist())
+                    meta["statistics"] = None
                 meta["path"] = [f.name]
                 meta["file_offset"] = meta["dictionary_page_offset"] or meta["data_page_offset"]
                 meta["crypto"] = (encryptor.column_crypto_fields(f.name)
@@ -900,6 +908,13 @@ def _column_meta_thrift(m) -> bytes:
     if m.get("bloom_filter_offset") is not None:
         w.field_i64(14, m["bloom_filter_offset"])
         w.field_i32(15, m["bloom_filter_length"])
+    if m.get("geo_stats") is not None:
+        # 17: optional GeospatialStatistics (reference
+        # file/metadata/thrift/mod.rs:460)
+        from .geospatial import write_geo_stats_thrift
+
+        w.field_struct(17)
+        write_geo_stats_thrift(w, m["geo_stats"])
     w.struct_end()
     return w.bytes()
 
@@ -919,8 +934,18 @@ def _file_metadata(schema: st.Schema, row_groups, props: WriterProperties,
     w.field_string(4, "schema")
     w.field_i32(5, len(schema.fields))
     w.struct_end()
+    from ..extension import EXTENSION_NAME_KEY
+    from .geospatial import geo_annotation
+
     for f in schema.fields:
-        write_schema_elements(w, f.name, f.dtype, f.nullable)
+        ext = dict(f.metadata).get(EXTENSION_NAME_KEY)
+        logical = "variant" if ext == "arrow.parquet.variant" else None
+        if logical is None:
+            geo = geo_annotation(f)
+            if geo is not None:
+                logical = geo  # ("geometry"|"geography", crs)
+        write_schema_elements(w, f.name, f.dtype, f.nullable,
+                              logical=logical)
     total_rows = sum(rg["num_rows"] for rg in row_groups)
     w.field_i64(3, total_rows)
     w.field_list(4, thrift.CT_STRUCT, len(row_groups))
@@ -1093,6 +1118,18 @@ class ParquetFile:
         idx = self._leaf_idx(column)
         cm = self.row_groups[rg][1][idx][3]
         return _field_stats(cm, cm[1])
+
+    def geo_statistics(self, rg: int, column: str):
+        """GEOMETRY/GEOGRAPHY chunk statistics (ColumnMetaData field 17;
+        reference parquet/src/geospatial/statistics.rs), or None."""
+        idx = self._leaf_idx(column)
+        cm = self.row_groups[rg][1][idx][3]
+        d = cm.get(17)
+        if d is None:
+            return None
+        from .geospatial import parse_geo_stats
+
+        return parse_geo_stats(d)
 
     def bloom_filter(self, rg: int, column: str):
         """Read the column chunk's SBBF, or None (reference

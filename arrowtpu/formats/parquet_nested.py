@@ -429,8 +429,14 @@ def count_schema_elements(dt: st.DataType) -> int:
     return 1
 
 
-def write_schema_elements(w, name: str, dt: st.DataType, nullable: bool):
-    """Emit this field's SchemaElement subtree (thrift writer `w`)."""
+def write_schema_elements(w, name: str, dt: st.DataType, nullable: bool,
+                          logical: str = None):
+    """Emit this field's SchemaElement subtree (thrift writer `w`).
+
+    `logical="variant"` annotates a struct group with the VARIANT
+    logicalType (SchemaElement field 10, union member 16 VariantType
+    with specification_version=1; reference parquet/src/basic.rs
+    LogicalType::Variant thrift id 16)."""
     from .parquet import _physical
 
     rep = REP_OPTIONAL if nullable else REP_REQUIRED
@@ -439,6 +445,16 @@ def write_schema_elements(w, name: str, dt: st.DataType, nullable: bool):
         w.field_i32(3, rep)
         w.field_string(4, name)
         w.field_i32(5, len(dt.fields))
+        if logical == "variant":
+            w.field_struct(10)
+            w.struct_begin()
+            w.field_struct(16)  # LogicalType union: VARIANT
+            w.struct_begin()
+            # specification_version (1: optional i8) is a BYTE field
+            w._field_header(1, 3)  # CT_BYTE
+            w.buf.append(1 & 0xFF)  # version 1
+            w.struct_end()
+            w.struct_end()
         w.struct_end()
         for f in dt.fields:
             write_schema_elements(w, f.name, f.dtype, f.nullable)
@@ -485,6 +501,19 @@ def write_schema_elements(w, name: str, dt: st.DataType, nullable: bool):
     if nl is not None:
         w.field_i32(7, dt.scale)
         w.field_i32(8, dt.precision)
+    if isinstance(logical, tuple) and logical[0] in ("geometry",
+                                                     "geography"):
+        # GEOMETRY (union id 17) / GEOGRAPHY (18) logicalType with
+        # optional crs string (reference parquet/src/basic.rs:289-297)
+        kind, crs = logical
+        w.field_struct(10)
+        w.struct_begin()
+        w.field_struct(17 if kind == "geometry" else 18)
+        w.struct_begin()
+        if crs:
+            w.field_string(1, crs)
+        w.struct_end()
+        w.struct_end()
     w.struct_end()
 
 
@@ -535,4 +564,28 @@ def parse_schema_tree(elems: List[dict], i: int) -> Tuple[st.Field, int, List]:
         return st.Struct(tuple(fields)), opt, j, leaves
 
     dt, opt, nxt, leaves = walk(i, 0, 0)
+    logical = e.get(10)
+    if isinstance(logical, dict):
+        if 16 in logical:
+            # VARIANT logicalType (basic.rs thrift id 16) -> carry the
+            # arrow.parquet.variant extension annotation on the field
+            from ..extension import EXTENSION_NAME_KEY
+
+            return (st.Field(
+                name, dt, opt,
+                ((EXTENSION_NAME_KEY, "arrow.parquet.variant"),)),
+                nxt, leaves)
+        if 17 in logical or 18 in logical:
+            # GEOMETRY/GEOGRAPHY -> geospatial annotation + crs
+            from .geospatial import GEO_CRS_KEY, GEO_KEY
+
+            kind = "geometry" if 17 in logical else "geography"
+            sub = logical.get(17, logical.get(18)) or {}
+            md = ((GEO_KEY, kind),)
+            crs = sub.get(1)
+            if crs:
+                md += ((GEO_CRS_KEY,
+                        crs.decode("utf-8") if isinstance(
+                            crs, (bytes, bytearray)) else crs),)
+            return st.Field(name, dt, opt, md), nxt, leaves
     return st.Field(name, dt, opt), nxt, leaves
