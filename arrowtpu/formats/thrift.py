@@ -80,6 +80,12 @@ class Writer:
         self._field_header(fid, CT_I64)
         _uvarint(self.buf, _zigzag(v) & 0xFFFFFFFFFFFFFFFF)
 
+    def field_double(self, fid: int, v: float):
+        import struct as _s
+
+        self._field_header(fid, CT_DOUBLE)
+        self.buf += _s.pack("<d", v)
+
     def field_binary(self, fid: int, data: bytes):
         self._field_header(fid, CT_BINARY)
         _uvarint(self.buf, len(data))
