@@ -69,6 +69,60 @@ def command_get_db_schemas() -> bytes:
     return _any_pack("CommandGetDbSchemas", b"")
 
 
+def command_get_sql_info(infos=()) -> bytes:
+    """CommandGetSqlInfo{repeated uint32 info=1}."""
+    inner = bytearray()
+    if infos:
+        packed = bytearray()
+        from .flight import _w_varint
+
+        for i in infos:
+            _w_varint(packed, int(i))
+        _w_bytes(inner, 1, bytes(packed))
+    return _any_pack("CommandGetSqlInfo", bytes(inner))
+
+
+def command_get_table_types() -> bytes:
+    return _any_pack("CommandGetTableTypes", b"")
+
+
+def _keys_cmd(name: str, table: str) -> bytes:
+    inner = bytearray()
+    _w_bytes(inner, 3, table.encode())
+    return _any_pack(name, bytes(inner))
+
+
+def command_get_primary_keys(table: str) -> bytes:
+    return _keys_cmd("CommandGetPrimaryKeys", table)
+
+
+def command_get_exported_keys(table: str) -> bytes:
+    return _keys_cmd("CommandGetExportedKeys", table)
+
+
+def command_get_imported_keys(table: str) -> bytes:
+    return _keys_cmd("CommandGetImportedKeys", table)
+
+
+def command_get_cross_reference(pk_table: str, fk_table: str) -> bytes:
+    inner = bytearray()
+    _w_bytes(inner, 3, pk_table.encode())
+    _w_bytes(inner, 6, fk_table.encode())
+    return _any_pack("CommandGetCrossReference", bytes(inner))
+
+
+def command_get_xdbc_type_info(data_type: Optional[int] = None) -> bytes:
+    inner = bytearray()
+    if data_type is not None:
+        from .flight import _w_varint
+
+        # int32 field 1 (varint; negative values use 10-byte two's compl.)
+        _w_varint(inner, (1 << 3) | 0)
+        _w_varint(inner, data_type & 0xFFFFFFFFFFFFFFFF
+                  if data_type < 0 else data_type)
+    return _any_pack("CommandGetXdbcTypeInfo", bytes(inner))
+
+
 def command_prepared_statement_query(handle: bytes) -> bytes:
     """CommandPreparedStatementQuery{prepared_statement_handle=1}."""
     inner = bytearray()
@@ -164,6 +218,11 @@ class FlightSqlServer(FlightServer):
         self.sql_tables: Dict[str, bt.RecordBatch] = tables or {}
         self._statements: Dict[bytes, bt.RecordBatch] = {}
         self._prepared: Dict[bytes, str] = {}  # handle -> SQL text
+        self._primary_keys: Dict[str, tuple] = {}
+        self._foreign_keys: list = []
+        from . import flightsql_meta as fm
+
+        self.sql_infos = fm.default_sql_infos()
         self._next = 0
         self._lock = threading.Lock()
 
@@ -241,13 +300,8 @@ class FlightSqlServer(FlightServer):
                 return encode_flight_info(
                     result.schema, request, ticket_statement_query(th),
                     total_records=int(result.length))
-            if name in ("CommandGetTables", "CommandGetCatalogs",
-                        "CommandGetDbSchemas"):
-                listing = {
-                    "CommandGetTables": self._tables_listing,
-                    "CommandGetCatalogs": self._catalogs_listing,
-                    "CommandGetDbSchemas": self._db_schemas_listing,
-                }[name]()
+            listing = self._metadata_listing(name, payload)
+            if listing is not None:
                 with self._lock:
                     handle = f"meta-{self._next}".encode()
                     self._next += 1
@@ -282,16 +336,86 @@ class FlightSqlServer(FlightServer):
                 pass
         return super().do_get_batches(ticket)
 
-    def _tables_listing(self) -> bt.RecordBatch:
-        from .core import column as ccol
+    def register_primary_key(self, table: str, columns) -> None:
+        """Declare `table`'s primary key for GetPrimaryKeys."""
+        self._primary_keys[table] = tuple(columns)
 
-        names = sorted(self.sql_tables)
-        return bt.RecordBatch(
-            st.Schema((st.Field("catalog_name", st.utf8),
-                       st.Field("table_name", st.utf8))),
-            (ccol.from_pylist(["main"] * len(names), st.utf8),
-             ccol.from_pylist(names, st.utf8)),
-        )
+    def register_foreign_key(self, fk_table: str, fk_columns,
+                             pk_table: str, pk_columns,
+                             key_name: str = "") -> None:
+        """Declare an FK for GetImportedKeys/GetExportedKeys/
+        CrossReference."""
+        from . import flightsql_meta as fm
+
+        self._foreign_keys.append(fm.ForeignKeyDef(
+            fk_table, tuple(fk_columns), pk_table, tuple(pk_columns),
+            key_name))
+
+    def _metadata_listing(self, name: str, payload: bytes):
+        """Dispatch the catalog/metadata commands to their builders
+        (reference sql/server.rs do_get_* handlers + sql/metadata/
+        builders).  Returns None for unknown commands."""
+        from . import flightsql_meta as fm
+
+        d = _parse(payload) if payload else {}
+
+        def s(fid):
+            v = _first(d, fid, None)
+            return bytes(v).decode() if v is not None else None
+
+        if name == "CommandGetTables":
+            return fm.tables_batch(self.sql_tables,
+                                   include_schema=bool(_first(d, 5, 0)))
+        if name == "CommandGetCatalogs":
+            return self._catalogs_listing()
+        if name == "CommandGetDbSchemas":
+            return self._db_schemas_listing()
+        if name == "CommandGetTableTypes":
+            return fm.table_types_batch()
+        if name == "CommandGetSqlInfo":
+            which = []
+            raw = _first(d, 1, None)
+            if raw is not None:
+                if isinstance(raw, int):
+                    which = [raw]
+                else:
+                    raw = bytes(raw)
+                    pos = 0
+                    while pos < len(raw):  # packed varints
+                        v = 0
+                        shift = 0
+                        while True:
+                            b = raw[pos]
+                            pos += 1
+                            v |= (b & 0x7F) << shift
+                            if not (b & 0x80):
+                                break
+                            shift += 7
+                        which.append(v)
+            return fm.sql_info_batch(self.sql_infos, which)
+        if name == "CommandGetPrimaryKeys":
+            return fm.primary_keys_batch(self._primary_keys, s(3) or "")
+        if name == "CommandGetExportedKeys":
+            return fm.foreign_keys_batch(self._foreign_keys, s(3) or "",
+                                         "exported")
+        if name == "CommandGetImportedKeys":
+            return fm.foreign_keys_batch(self._foreign_keys, s(3) or "",
+                                         "imported")
+        if name == "CommandGetCrossReference":
+            return fm.cross_reference_batch(self._foreign_keys,
+                                            s(3) or "", s(6) or "")
+        if name == "CommandGetXdbcTypeInfo":
+            raw = _first(d, 1, None)
+            dt_val = None
+            if raw is not None and isinstance(raw, int):
+                dt_val = raw if raw < 2**31 else raw - 2**64
+            return fm.xdbc_type_info_batch(dt_val)
+        return None
+
+    def _tables_listing(self) -> bt.RecordBatch:
+        from . import flightsql_meta as fm
+
+        return fm.tables_batch(self.sql_tables)
 
     def _catalogs_listing(self) -> bt.RecordBatch:
         """reference sql/metadata/catalogs.rs GetCatalogsBuilder schema."""
@@ -346,18 +470,48 @@ class FlightSqlClient:
         handle = bytes(_first(d, 1))
         return PreparedStatement(self, handle)
 
-    def get_tables(self) -> List[str]:
-        raw = self._inner._info(encode_descriptor(cmd=command_get_tables()))
+    def _run_command(self, cmd: bytes) -> List[bt.RecordBatch]:
+        """GetFlightInfo(cmd) -> DoGet(ticket) (the generic FlightSQL
+        metadata retrieval path, reference sql/client.rs)."""
+        raw = self._inner._info(encode_descriptor(cmd=cmd))
         d = _parse(raw)
         from .flight import decode_ticket
 
         ticket = decode_ticket(
             bytes(_first(_parse(bytes(d.get(3, [b""])[0])), 1)))
-        batches = self._inner.do_get(ticket)
+        return self._inner.do_get(ticket)
+
+    def get_tables(self) -> List[str]:
         out: List[str] = []
-        for b in batches:
+        for b in self._run_command(command_get_tables()):
             out.extend(b.to_pydict()["table_name"])
         return out
+
+    def get_sql_info(self, infos=()) -> List[bt.RecordBatch]:
+        return self._run_command(command_get_sql_info(infos))
+
+    def get_table_types(self) -> List[str]:
+        out: List[str] = []
+        for b in self._run_command(command_get_table_types()):
+            out.extend(b.to_pydict()["table_type"])
+        return out
+
+    def get_primary_keys(self, table: str) -> List[bt.RecordBatch]:
+        return self._run_command(command_get_primary_keys(table))
+
+    def get_exported_keys(self, table: str) -> List[bt.RecordBatch]:
+        return self._run_command(command_get_exported_keys(table))
+
+    def get_imported_keys(self, table: str) -> List[bt.RecordBatch]:
+        return self._run_command(command_get_imported_keys(table))
+
+    def get_cross_reference(self, pk_table: str,
+                            fk_table: str) -> List[bt.RecordBatch]:
+        return self._run_command(
+            command_get_cross_reference(pk_table, fk_table))
+
+    def get_xdbc_type_info(self, data_type=None) -> List[bt.RecordBatch]:
+        return self._run_command(command_get_xdbc_type_info(data_type))
 
     def close(self):
         self._inner.close()

@@ -218,6 +218,16 @@ class Table:
             out.append(Table(self.buf, ep + rel))
         return out
 
+    def vector_scalars(self, fid: int, fmt: str) -> List:
+        """vector of fixed-width scalars (e.g. Union.typeIds int32)."""
+        p = self.offset(fid)
+        if p is None:
+            return []
+        (n,) = struct.unpack_from("<i", self.buf, p)
+        w = struct.calcsize("<" + fmt)
+        return [struct.unpack_from("<" + fmt, self.buf, p + 4 + w * i)[0]
+                for i in range(n)]
+
     def vector_structs(self, fid: int, item_size: int) -> List[bytes]:
         p = self.offset(fid)
         if p is None:

@@ -36,7 +36,8 @@ MAGIC = b"ARROW1"
 # Type union ordinals (reference gen/Schema.rs:796)
 T_NULL, T_INT, T_FLOAT, T_BINARY, T_UTF8, T_BOOL = 1, 2, 3, 4, 5, 6
 T_DECIMAL, T_DATE, T_TIME, T_TIMESTAMP = 7, 8, 9, 10
-T_LIST, T_STRUCT, T_FSB, T_FSL, T_MAP, T_DURATION = 12, 13, 15, 16, 17, 18
+T_LIST, T_STRUCT, T_UNION, T_FSB, T_FSL, T_MAP, T_DURATION = (
+    12, 13, 14, 15, 16, 17, 18)
 T_LARGEBIN, T_LARGEUTF8, T_LARGELIST = 19, 20, 21
 # Message header union (gen/Message.rs): Schema=1, DictionaryBatch=2, RecordBatch=3
 H_SCHEMA, H_DICT, H_BATCH = 1, 2, 3
@@ -109,6 +110,16 @@ def _write_type(b: fb.Builder, dt: st.DataType) -> Tuple[int, int]:
     if isinstance(dt, st.Map):
         b.start_table()
         return T_MAP, b.end_table()
+    if isinstance(dt, st.Union):
+        import struct as _s
+
+        ids = dt.type_ids or tuple(range(len(dt.fields)))
+        packed = b"".join(_s.pack("<i", t) for t in ids)
+        idvec = b.vector_of_structs(packed, len(ids), align=4)
+        b.start_table()
+        b.slot_scalar(0, "h", 0 if dt.mode == "sparse" else 1, 0)
+        b.slot_offset(1, idvec)
+        return T_UNION, b.end_table()
     if isinstance(dt, st.Dictionary):
         return _write_type(b, dt.value)  # field type is the VALUE type
     nl = st.decimal_limbs(dt)
@@ -132,6 +143,10 @@ def _write_field(b: fb.Builder, field: st.Field, dict_ids: Dict[str, int], path:
         entries = st.Field("entries", dt.entry_struct, False)
         children = [_write_field(b, entries, dict_ids, path + ".entries")]
     elif isinstance(dt, st.Struct):
+        children = [
+            _write_field(b, f, dict_ids, path + "." + f.name) for f in dt.fields
+        ]
+    elif isinstance(dt, st.Union):
         children = [
             _write_field(b, f, dict_ids, path + "." + f.name) for f in dt.fields
         ]
@@ -201,6 +216,11 @@ def _read_type(f: fb.Table) -> st.DataType:
         return st.List(child.dtype)
     if tt == T_STRUCT:
         return st.Struct(tuple(_read_field(cf) for cf in f.vector_tables(5)))
+    if tt == T_UNION:
+        fields = tuple(_read_field(cf) for cf in f.vector_tables(5))
+        ids = tuple(t.vector_scalars(1, "i")) or tuple(range(len(fields)))
+        mode = "sparse" if t.scalar(0, "h", 0) == 0 else "dense"
+        return st.Union(fields, ids, mode)
     if tt == T_FSL:
         child = _read_field(f.vector_tables(5)[0])
         return st.FixedSizeList(child.dtype, t.scalar(0, "i", 0))
@@ -580,6 +600,15 @@ def _read_batch_columns(header: fb.Table, body: bytes, schema: st.Schema, dictio
         length, null_count = take_node()
         if isinstance(dt, st.Null):
             return Node(length, null_count, [], [])
+        if isinstance(dt, st.Union):
+            # unions carry no validity buffer: [type_ids] (+ [offsets]
+            # iff dense), then each child in field order
+            bufs = [take_buf()]
+            if dt.mode == "dense":
+                bufs.append(take_buf())
+            children = [read_node(f.dtype, path + "." + f.name)
+                        for f in dt.fields]
+            return Node(length, null_count, bufs, children)
         bufs = [take_buf()]  # validity
         if isinstance(dt, st.Boolean):
             bufs.append(take_buf())

@@ -146,6 +146,15 @@ def column_to_layout(c: col.Column) -> Node:
     if isinstance(c, col.FixedSizeListColumn):
         child = c.child.with_length(n * c.dtype.size)
         return Node(n, nulls, [vbuf], [column_to_layout(child)])
+    if isinstance(c, col.UnionColumn):
+        # no validity buffer (union_array.rs layout): [int8 type_ids]
+        # (+ [int32 offsets] iff dense) then children at their own length
+        tids = np.asarray(c.type_id_arr)[:n].astype(np.int8)
+        bufs = [np.ascontiguousarray(tids).view(np.uint8)]
+        if c.offsets is not None:
+            offs = np.asarray(c.offsets)[:n].astype(np.int32)
+            bufs.append(np.ascontiguousarray(offs).view(np.uint8))
+        return Node(n, 0, bufs, [column_to_layout(ch) for ch in c.children])
     raise st.SchemaError(f"no arrow layout for {type(c).__name__}")
 
 
@@ -240,6 +249,16 @@ def layout_to_column(node: Node, dt: st.DataType) -> col.Column:
         if child.capacity < target:
             child = _grow_to(child, target)
         return col.FixedSizeListColumn(child, validity, jnp.int32(n), dt)
+    if isinstance(dt, st.Union):
+        tids = np.frombuffer(node.buffers[0].tobytes(), np.int8,
+                             count=n).astype(np.int32)
+        offs = None
+        if dt.mode == "dense":
+            offs = np.frombuffer(node.buffers[1].tobytes(), np.int32,
+                                 count=n)
+        children = [layout_to_column(ch, f.dtype)
+                    for ch, f in zip(node.children, dt.fields)]
+        return col.union_column(tids, children, dt, offsets=offs, length=n)
     raise st.SchemaError(f"cannot rebuild column of type {dt}")
 
 
