@@ -103,6 +103,68 @@ def avro_decode_block(body: bytes, nrows: int, fdesc, arena_cap: int):
     return vals, lens, valid, arena[: used.value], rc, views
 
 
+def avro_decode_nested(body: bytes, nrows: int, desc, child_idx,
+                       arena_cap: int, cap_mult: int = 2):
+    """Decode a nested-record Avro block natively (avronest.cpp).
+
+    desc: int32 (nnodes, 7) node table; child_idx: flat int32 child
+    index table (see avronest.cpp header).  Returns (per_node dict with
+    'vals','views','valid','lens','count', arena bytes, consumed) or
+    None when no native build; raises ValueError on malformed input.
+    Capacity overflows retry with doubled buffers."""
+    import numpy as np
+
+    lib = load("avronest")
+    if lib is None:
+        return None
+    fn = lib.arrowtpu_avro_decode_nested
+    fn.restype = ctypes.c_int64
+    nn = desc.shape[0]
+    d = np.ascontiguousarray(desc, np.int32)
+    ci = np.ascontiguousarray(child_idx, np.int32)
+    caps = np.full(nn, max(nrows, 1) * cap_mult // 2 + 16, np.int64)
+    caps[0] = max(nrows, 1)
+    arena_sz = max(arena_cap, 1) * cap_mult // 2 + 1024
+    while True:
+        vals = [np.zeros(int(caps[i]), np.int64) for i in range(nn)]
+        views = [np.zeros((int(caps[i]), 4), np.uint32) for i in range(nn)]
+        valid = [np.zeros(int(caps[i]), np.uint8) for i in range(nn)]
+        lens = [np.zeros(int(caps[i]), np.int32) for i in range(nn)]
+        counts = np.zeros(nn, np.int64)
+        arena = np.zeros(arena_sz, np.uint8)
+        used = ctypes.c_int64(0)
+
+        def ptrarr(arrs, ctype):
+            return (ctypes.c_void_p * nn)(
+                *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs])
+
+        rc = fn(body, ctypes.c_int64(len(body)), ctypes.c_int64(nrows),
+                d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int32(nn),
+                ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ptrarr(vals, ctypes.c_int64),
+                ptrarr(views, ctypes.c_uint32),
+                ptrarr(valid, ctypes.c_uint8),
+                ptrarr(lens, ctypes.c_int32),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(arena.size), ctypes.byref(used))
+        if rc == -2:
+            caps = caps * 2
+            arena_sz = arena_sz * 2
+            continue
+        if rc < 0:
+            raise ValueError("avro: malformed block (native nested decoder)")
+        out = []
+        for i in range(nn):
+            c = int(counts[i])
+            out.append({"vals": vals[i][:c], "views": views[i][:c],
+                        "valid": valid[i][:c].astype(bool),
+                        "lens": lens[i][:c], "count": c})
+        return out, arena[: used.value], rc
+
+
 def lz4_compress_block(data: bytes) -> bytes | None:
     """Greedy LZ4 block compression (native); None if unavailable or
     incompressible within the worst-case bound."""
