@@ -342,6 +342,11 @@ class WriterProperties:
     # skipped for encrypted files (those modules' encryption is not
     # implemented yet).
     encryption: Optional[object] = None
+    # Content-defined chunking (parquet_cdc.CdcOptions; reference
+    # column/chunker/cdc.rs behind properties.rs CdcOptions): when set,
+    # data-page boundaries follow the gearhash chunker instead of
+    # data_page_row_limit, making files dedup-friendly under edits.
+    cdc_options: Optional[object] = None
 
 
 def _plain_encode(vals: np.ndarray, phys: int) -> bytes:
@@ -451,9 +456,15 @@ def _write_column(out, c: col.Column, dt: st.DataType, props: WriterProperties,
     # page gets its own def-level block, payload slice, first-row index
     # and min/max statistics (feeding the column/offset page indexes that
     # parquet_scan.py prunes with)
-    page_limit = max(1, int(props.data_page_row_limit))
-    row_slices = [(r0, min(r0 + page_limit, n))
-                  for r0 in range(0, n, page_limit)] or [(0, 0)]
+    if props.cdc_options is not None:
+        from .parquet_cdc import page_slices
+
+        row_slices = page_slices(vals, valid, phys, nullable,
+                                 props.cdc_options, n)
+    else:
+        page_limit = max(1, int(props.data_page_row_limit))
+        row_slices = [(r0, min(r0 + page_limit, n))
+                      for r0 in range(0, n, page_limit)] or [(0, 0)]
     nn_cum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
     page_stats = []
 
