@@ -71,11 +71,11 @@ class _Ctx:
 def _compact_u32_planes(planes: List[jax.Array], mask, cap: int):
     """Compact (cap,) u32 planes by a bool mask (group extraction).
     Pallas kernel on TPU; unique-index scatter fallback elsewhere."""
-    from ..pallas import compact2 as pc2
+    from ..pallas import compact3 as pc3
 
     stacked = jnp.stack([p.astype(U32) for p in planes])
-    if jax.default_backend() != "cpu" and pc2.supported(cap):
-        out = pc2.compact_planes(stacked, mask.astype(jnp.uint8))
+    if jax.default_backend() != "cpu" and pc3.supported(cap, len(planes)):
+        out = pc3.compact_planes(stacked, mask.astype(jnp.uint8))
         return [out[i] for i in range(len(planes))]
     pos = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
     outs = []
@@ -200,7 +200,28 @@ def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
     cap = batch.capacity
     length = batch.length
 
-    planes = rf.encode_columns(key_cols)
+    key_planes = rf.encode_columns(key_cols)
+    # value-ordered tie-break (round-5): when min/max aggregates exist,
+    # the FIRST such column's order planes ride as EXTRA sort keys
+    # (nulls last).  Rows within a group then sort ascending by that
+    # value, so min = the group's first row and max = its last valid
+    # row — two mask compactions replace the 23-round suffix-doubling
+    # sweep (measured 38 ms of the 104 ms high-card profile).  The
+    # packed-key compressor keeps the cost honest: narrow values add
+    # bits, not sort words (BASELINE config 4: 20-bit key + 11-bit
+    # value still packs to ONE u32 word).
+    from ..config import SortOptions
+
+    minmax_names = [nm for nm, a in aggs if a in ("min", "max")]
+    vo_name = None
+    vo_planes: List[jax.Array] = []
+    if minmax_names:
+        cand = batch[minmax_names[0]]
+        if isinstance(cand, (col.PrimitiveColumn, col.BooleanColumn)):
+            vo_name = minmax_names[0]
+            vo_planes = rf.encode_column(
+                cand, SortOptions(nulls_first=False))
+    planes = key_planes + vo_planes
     iota = jnp.arange(cap, dtype=jnp.int32)
 
     # payload operands: raw key columns (for output reconstruction) and
@@ -239,7 +260,8 @@ def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
 
     live = iota < jnp.int32(length)  # sorted: live rows first
     boundary = jnp.zeros(cap, dtype=jnp.bool_)
-    for p in sorted_planes:
+    for p in sorted_planes[: len(key_planes)]:  # KEY planes only — the
+        # value tie-break planes must not split groups
         boundary = boundary | jnp.concatenate(
             [jnp.array([True]), p[1:] != p[:-1]])
     boundary = boundary & live
@@ -260,6 +282,15 @@ def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
             out_fields.append(st.Field(k, c.dtype))
             out_cols.append(rb(key_starts[off : off + nops], num_groups))
 
+    vo_max_mask = None
+    if vo_name is not None:
+        a0, _ = agg_slices[vo_name]
+        ok_vo = (sorted_aggs[a0] != 0) & live
+        ok_next = jnp.concatenate([ok_vo[1:], jnp.zeros(1, jnp.bool_)])
+        # one row per group: its last VALID row (values ascend, nulls
+        # last), or — all-null group — its start row (masked by `has`)
+        vo_max_mask = (ok_vo & (next_b | ~ok_next)) | (boundary & ~ok_vo)
+
     cnt_cache: dict = {}  # per agg column: (cnt, has, has_v) computed once
     for name, agg in aggs:
         if agg not in AGGS:
@@ -274,7 +305,9 @@ def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
             has = cnt > 0
             cnt_cache[name] = (cnt, has, bm.pack(has))
         agg_col = _segment_agg(batch[name], ctx, agg, ok_sorted, val_ops,
-                               cnt_cache[name])
+                               cnt_cache[name],
+                               vo_max_mask=(vo_max_mask
+                                            if name == vo_name else None))
         out_fields.append(st.Field(f"{agg}_{name}", agg_col.dtype))
         out_cols.append(agg_col)
 
@@ -821,12 +854,15 @@ def _chunk_bits(cap: int) -> int:
 
 
 def _group_sums_of(prefixes: List[jax.Array], ctx: _Ctx) -> List[jax.Array]:
-    """For each inclusive prefix array: per-group sums via (incl at group
-    last) - (excl at group start), extracted with two multi-plane
-    compactions."""
+    """For each inclusive prefix array: per-group sums.  Groups are
+    CONTIGUOUS in the sorted stream, so the exclusive prefix at group
+    g's start equals the inclusive prefix at group g-1's last row —
+    ONE multi-plane compaction (incl at lasts) and a one-slot shift
+    replace the former lasts+starts double extraction (round-5 high-card
+    profile: extraction was ~half the sum cost)."""
     tops = _at_last(ctx, prefixes)
-    bots = _at_starts(ctx, [_excl(p) for p in prefixes])
-    return [t - b for t, b in zip(tops, bots)]
+    glive = jnp.arange(ctx.cap, dtype=jnp.int32) < ctx.num_groups
+    return [jnp.where(glive, t - _excl(t), U32(0)) for t in tops]
 
 
 def _segment_sum_planes(val_planes: List[jax.Array], ok, ctx: _Ctx):
@@ -892,8 +928,27 @@ def _segment_minmax_planes(planes, ok, ctx: _Ctx, is_min: bool):
 # ---------------------------------------------------------------------------
 
 
+def _vo_extract(ctx: _Ctx, agg: str, val_ops, vo_max_mask):
+    """min/max via the value-ordered tie-break (see _sort_group_by):
+    extract the RAW operand planes at the group's first row (min) or at
+    the last-valid-row mask (max) — no total-order transform needed."""
+    planes = []
+    for p in val_ops:
+        if jnp.issubdtype(p.dtype, jnp.floating):
+            planes.append(jax.lax.bitcast_convert_type(
+                p.astype(jnp.float32), U32))
+        elif p.dtype == U32:
+            planes.append(p)
+        else:
+            planes.append(p.astype(jnp.int32).astype(U32))
+    if agg == "min":
+        return _at_starts(ctx, planes)
+    return _compact_u32_planes(planes, vo_max_mask, ctx.cap)
+
+
 def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
-                 val_ops: List[jax.Array], cnt_has=None) -> col.Column:
+                 val_ops: List[jax.Array], cnt_has=None,
+                 vo_max_mask=None) -> col.Column:
     num_groups = ctx.num_groups
     wide_kind = c.wide if isinstance(c, col.PrimitiveColumn) else None
 
@@ -913,10 +968,10 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
     if (isinstance(c, col.PrimitiveColumn)
             and st.decimal_limbs(c.dtype) is not None):
         return _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt,
-                                    has, has_v)
+                                    has, has_v, vo_max_mask)
     if wide_kind is None:
         return _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt,
-                                   has, has_v)
+                                   has, has_v, vo_max_mask)
 
     # ---- wide (64-bit limb) paths --------------------------------------
     lo_p, hi_p = val_ops[0], val_ops[1]
@@ -928,10 +983,13 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
             # f64 prefixes cannot ride the u32 compaction: split to bits?
             # emulated-f64 bitcast is unsupported on this TPU, so gather
             # the (few) group positions instead via compacted positions
+            # start_g = last_{g-1} + 1 (contiguous groups): ONE
+            # compaction; the subtraction gathers cs at last_{g-1}
             top = _at_last(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
-            bot = _at_starts(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            prev = _excl(top)
+            g0 = jnp.arange(ctx.cap, dtype=jnp.int32) == 0
             s = cs[top.astype(jnp.int32)] - jnp.where(
-                bot > 0, cs[jnp.maximum(bot.astype(jnp.int32) - 1, 0)], 0.0)
+                g0, 0.0, cs[prev.astype(jnp.int32)])
             if agg == "mean":
                 mean = s / jnp.maximum(cnt, 1).astype(jnp.float64)
                 return col.PrimitiveColumn(
@@ -949,6 +1007,11 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
 
     if agg in ("min", "max"):
         is_min = agg == "min"
+        if vo_max_mask is not None:
+            bl, bh = _vo_extract(ctx, agg, [lo_p, hi_p], vo_max_mask)
+            best = wd.make(bl, bh)
+            best = jnp.where(has[..., None], best, jnp.zeros_like(best))
+            return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
         if wide_kind == "f64":
             ph, pl = wd.f64_total_order_planes(wd.make(lo_p, hi_p))
         elif wide_kind == "i64":
@@ -973,7 +1036,8 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
     raise st.ComputeError(f"unknown aggregate {agg!r}")
 
 
-def _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
+def _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v,
+                         vo_max_mask=None):
     """Decimal SUM/MIN/MAX/MEAN via N-limb chunk cumsums / plane sweeps.
     Sum keeps the input scale; precision widens to the width max
     (reference decimal aggregate semantics, arrow-arith aggregate.rs)."""
@@ -993,6 +1057,11 @@ def _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
         return col.PrimitiveColumn(s, has_v, num_groups, out_dt)
     if agg in ("min", "max"):
         is_min = agg == "min"
+        if vo_max_mask is not None:
+            ext = _vo_extract(ctx, agg, list(val_ops), vo_max_mask)
+            best = jnp.stack(ext, axis=-1)
+            best = jnp.where(has[..., None], best, jnp.zeros_like(best))
+            return col.PrimitiveColumn(best, has_v, num_groups, c.dtype)
         # big-endian plane order, sign-flipped top limb (total order)
         planes = []
         for j in range(nl - 1, -1, -1):
@@ -1008,7 +1077,8 @@ def _segment_agg_decimal(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
     raise st.ComputeError(f"decimal aggregate {agg!r} unsupported")
 
 
-def _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
+def _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v,
+                        vo_max_mask=None):
     num_groups = ctx.num_groups
     vals_sorted = val_ops[0]
     dt = (jnp.int32 if isinstance(c, col.BooleanColumn)
@@ -1017,10 +1087,13 @@ def _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
         if jnp.issubdtype(dt, jnp.floating):
             z = jnp.where(ok_sorted, vals_sorted.astype(jnp.float64), 0.0)
             cs = jnp.cumsum(z)
+            # start_g = last_{g-1} + 1 (contiguous groups): ONE
+            # compaction; the subtraction gathers cs at last_{g-1}
             top = _at_last(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
-            bot = _at_starts(ctx, [jnp.arange(ctx.cap, dtype=U32)])[0]
+            prev = _excl(top)
+            g0 = jnp.arange(ctx.cap, dtype=jnp.int32) == 0
             s = cs[top.astype(jnp.int32)] - jnp.where(
-                bot > 0, cs[jnp.maximum(bot.astype(jnp.int32) - 1, 0)], 0.0)
+                g0, 0.0, cs[prev.astype(jnp.int32)])
             if agg == "sum":
                 out = s.astype(dt) if dt != jnp.float64 else s
                 return col.PrimitiveColumn(out, has_v, num_groups,
@@ -1054,6 +1127,18 @@ def _segment_agg_narrow(c, ctx, agg, ok_sorted, val_ops, cnt, has, has_v):
         return col.PrimitiveColumn(out, has_v, num_groups, st.from_jnp(dt))
     if agg in ("min", "max"):
         is_min = agg == "min"
+        if vo_max_mask is not None:
+            (bp,) = _vo_extract(ctx, agg, [vals_sorted], vo_max_mask)
+            if jnp.issubdtype(dt, jnp.floating):
+                r = jax.lax.bitcast_convert_type(
+                    bp, jnp.float32).astype(dt)
+            elif jnp.issubdtype(dt, jnp.signedinteger):
+                r = bp.astype(jnp.int32).astype(dt)
+            else:
+                r = bp.astype(dt)
+            r = jnp.where(has, r, jnp.zeros_like(r))
+            return col.PrimitiveColumn(r, has_v, num_groups,
+                                       st.from_jnp(r.dtype))
         if jnp.issubdtype(dt, jnp.floating):
             b = jax.lax.bitcast_convert_type(
                 vals_sorted.astype(jnp.float32), U32)
