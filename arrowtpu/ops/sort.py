@@ -42,12 +42,23 @@ def _sorted_iota(planes: List[jax.Array], capacity: int, length) -> jax.Array:
     return extras[0]
 
 
+def _sorted_iota_any(columns, options, capacity, length) -> jax.Array:
+    """Grouped sort when a long varlen key is present (prefix planes +
+    rank-chained refinement sorts, pack.sort_by_plane_groups); single
+    packed sort otherwise."""
+    groups = rf.encode_columns_grouped(columns, options)
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    if len(groups) == 1:
+        return _sorted_iota(groups[0], capacity, length)
+    out = rp.sort_by_plane_groups(groups, capacity, length, [iota])
+    return out[0]
+
+
 def sort_to_indices(c: col.Column, options: SortOptions = SortOptions(),
                     limit: Optional[int] = None) -> col.PrimitiveColumn:
     """reference sort.rs:277.  Returns an index column (int32) whose first
     `length` (or limit) entries sort c per options."""
-    planes = rf.encode_column(c, options)
-    idx = _sorted_iota(planes, c.capacity, c.length)
+    idx = _sorted_iota_any([c], [options], c.capacity, c.length)
     out_len = c.length if limit is None else jnp.minimum(jnp.int32(limit), jnp.int32(c.length))
     if limit is not None:
         # capacity shrink for small limits (reference partial_sort :1114)
@@ -74,9 +85,11 @@ def lexsort_to_indices(columns: Sequence[col.Column],
     caps = {c.capacity for c in columns}
     if len(caps) != 1:
         raise st.ComputeError(f"lexsort: capacity mismatch {caps}")
-    planes = rf.encode_columns(columns, options)
     first = columns[0]
-    idx = _sorted_iota(planes, first.capacity, first.length)
+    idx = _sorted_iota_any(
+        list(columns),
+        list(options) if options is not None else None,
+        first.capacity, first.length)
     out_len = first.length if limit is None else jnp.minimum(
         jnp.int32(limit), jnp.int32(first.length)
     )

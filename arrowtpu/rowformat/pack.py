@@ -149,3 +149,58 @@ def sort_by_planes(
     branches = [make_packed(k) for k in range(1, max_words + 1)] + [fallback]
     out = jax.lax.switch(branch, branches, tuple(carried))
     return list(out[:n_planes]), list(out[n_planes:])
+
+
+def sort_by_plane_groups(
+    groups: Sequence[Sequence[jax.Array]],
+    capacity: int,
+    length,
+    extras: Sequence[jax.Array] = (),
+) -> List[jax.Array]:
+    """Stable lexicographic sort over plane GROUPS: chained packed sorts
+    with rank carry-over (the string prefix-plane design, round-5 ask
+    #4 / PERF.md:118-123).
+
+    A long varlen key would explode into len_bound/4+1 planes and blow
+    the 4-word pack budget into the slow multi-key fallback.  Instead
+    the planes split into groups of a few planes each; sort 1 orders by
+    group 0 (e.g. first 16 string bytes), then each refinement sort
+    orders by [run-rank, next group's planes] — the rank plane encodes
+    everything already compared, packs to log2(#distinct runs) bits, and
+    ties resolve group by group.  Every sort stays within the packed
+    1..4-word fast path.  Returns the sorted extras (e.g. the
+    permutation iota)."""
+    groups = [list(g) for g in groups if len(g)]
+    if len(groups) <= 1:
+        _, out = sort_by_planes(groups[0] if groups else [], capacity,
+                                length, list(extras), return_planes=False)
+        return out
+    extras = list(extras)
+    n_extra = len(extras)
+    later = [p.astype(U32) for g in groups[1:] for p in g]
+    sizes = [len(g) for g in groups[1:]]
+
+    sorted_g, carried = sort_by_planes(
+        groups[0], capacity, length, later + extras, return_planes=True)
+    rank = _run_rank(sorted_g, None)
+    pos = 0
+    for gi, sz in enumerate(sizes):
+        g_planes = carried[pos:pos + sz]
+        rest = carried[pos + sz:]
+        sorted_g, carried2 = sort_by_planes(
+            [rank] + g_planes, capacity, length, rest,
+            return_planes=True)
+        rank = _run_rank(sorted_g, None)
+        carried = carried2
+        pos = 0
+    return carried[len(carried) - n_extra:]
+
+
+def _run_rank(planes: List[jax.Array], live) -> jax.Array:
+    """u32 run id per sorted row: rows compare equal on `planes` iff
+    same rank (cumsum of adjacent-difference boundaries)."""
+    boundary = None
+    for p in planes:
+        d = jnp.concatenate([jnp.ones(1, jnp.bool_), p[1:] != p[:-1]])
+        boundary = d if boundary is None else (boundary | d)
+    return (jnp.cumsum(boundary.astype(U32), dtype=U32) - U32(1))
