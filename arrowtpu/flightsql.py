@@ -220,6 +220,7 @@ class FlightSqlServer(FlightServer):
         self._prepared: Dict[bytes, str] = {}  # handle -> SQL text
         self._primary_keys: Dict[str, tuple] = {}
         self._foreign_keys: list = []
+        self._transactions: set = set()
         from . import flightsql_meta as fm
 
         self.sql_infos = fm.default_sql_infos()
@@ -258,13 +259,38 @@ class FlightSqlServer(FlightServer):
             with self._lock:
                 self._prepared.pop(handle, None)
             return
+        if action_type == "BeginTransaction":
+            # reference sql/server.rs do_action_begin_transaction: the
+            # service mints a transaction handle; this engine's tables
+            # are immutable snapshots, so a transaction is a consistent
+            # read handle
+            with self._lock:
+                handle = f"txn-{self._next}".encode()
+                self._next += 1
+                self._transactions.add(handle)
+            result = bytearray()
+            _w_bytes(result, 1, handle)
+            yield _any_pack("ActionBeginTransactionResult", bytes(result))
+            return
+        if action_type == "EndTransaction":
+            name, payload = _any_unpack(body)
+            d = _parse(payload)
+            handle = bytes(_first(d, 1))
+            with self._lock:
+                if handle not in self._transactions:
+                    raise st.ComputeError(
+                        "flightsql: unknown transaction handle")
+                self._transactions.discard(handle)
+            return
         yield from super().do_action(action_type, body)
 
     def list_actions(self):
         return [("CreatePreparedStatement",
                  "Creates a reusable prepared statement resource"),
                 ("ClosePreparedStatement",
-                 "Closes a reusable prepared statement resource")]
+                 "Closes a reusable prepared statement resource"),
+                ("BeginTransaction", "Begins a transaction"),
+                ("EndTransaction", "Commits or rolls back a transaction")]
 
     def _get_flight_info(self, request: bytes, context):
         desc = __import__("arrowtpu.flight", fromlist=["decode_descriptor"]) \

@@ -127,6 +127,29 @@ class TestOverTheWire:
         cl.close()
 
 
+class TestTransactions:
+    def test_begin_end(self, server):
+        srv, port = server
+        from arrowtpu import flight as fl
+        from arrowtpu.flightsql import _any_pack, _any_unpack
+        from arrowtpu.flight import _parse, _first, _w_bytes
+
+        cl = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+        res = cl.do_action("BeginTransaction",
+                           _any_pack("ActionBeginTransactionRequest", b""))
+        name, payload = _any_unpack(res[0])
+        assert name == "ActionBeginTransactionResult"
+        handle = bytes(_first(_parse(payload), 1))
+        assert handle.startswith(b"txn-")
+        inner = bytearray()
+        _w_bytes(inner, 1, handle)
+        cl.do_action("EndTransaction",
+                     _any_pack("ActionEndTransactionRequest", bytes(inner)))
+        names = [a[0] for a in srv.list_actions()]
+        assert "BeginTransaction" in names and "EndTransaction" in names
+        cl.close()
+
+
 class TestStockPyarrowClient:
     """The verdict bar: a stock pyarrow FlightSQL-speaking client
     retrieves each listing with the reference-specified schemas."""
