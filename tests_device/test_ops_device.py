@@ -1,0 +1,265 @@
+"""On-device breadth (round-5 ask #8): join, strings kernels, casts,
+parquet-file -> device ingest, group-by at the TPU's real 256-bucket
+dense configuration, grouped string sort, compact3 plane sweep."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import arrowtpu as at
+from arrowtpu import ops, schema as st
+from arrowtpu.core import column as col
+
+
+class TestJoinDevice:
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_hash_join(self, rng, how):
+        n, m = 100_000, 30_000
+        lk = rng.integers(0, 30_000, n)
+        rk = rng.integers(0, 30_000, m)
+        left = at.record_batch({
+            "k": at.primitive(lk, at.schema.int64, length=n),
+            "a": at.primitive(np.arange(n), at.schema.int64, length=n)})
+        right = at.record_batch({
+            "k": at.primitive(rk, at.schema.int64, length=m),
+            "b": at.primitive(np.arange(m), at.schema.int64, length=m)})
+        from arrowtpu.ops import join as J
+
+        out, _info = J.hash_join(left, right, ["k"], how=how)
+        got = sorted(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+        import collections
+
+        rpos = collections.defaultdict(list)
+        for j, k in enumerate(rk):
+            rpos[int(k)].append(j)
+        want = []
+        for i, k in enumerate(lk):
+            matches = rpos.get(int(k), [])
+            if matches:
+                want.extend((i, j) for j in matches)
+            elif how == "left":
+                want.append((i, None))
+        assert got == sorted(want)
+
+    def test_semi_anti(self, rng):
+        n, m = 100_000, 20_000
+        lk = rng.integers(0, 50_000, n)
+        rk = rng.integers(0, 25_000, m)
+        left = at.record_batch({
+            "k": at.primitive(lk, at.schema.int64, length=n)})
+        right = at.record_batch({
+            "k": at.primitive(rk, at.schema.int64, length=m)})
+        from arrowtpu.ops import join as J
+
+        rset = set(int(k) for k in rk)
+        semi, _ = J.hash_join(left, right, ["k"], how="semi")
+        assert sorted(semi["k"].to_pylist()) == sorted(
+            int(k) for k in lk if int(k) in rset)
+        anti, _ = J.hash_join(left, right, ["k"], how="anti")
+        assert sorted(anti["k"].to_pylist()) == sorted(
+            int(k) for k in lk if int(k) not in rset)
+
+
+class TestStringsDevice:
+    def _col(self, rng, n=100_000):
+        words = ["alpha", "beta%", "gamma-long-string-tail", "delta",
+                 "%escape", "", "ALPHA", "beta"]
+        strs = [words[int(i)] + str(int(rng.integers(0, 100)))
+                if rng.random() > 0.05 else None
+                for i in rng.integers(0, len(words), n)]
+        return col.string_view(strs, st.utf8), strs
+
+    def test_like_family(self, rng):
+        c, strs = self._col(rng)
+        from arrowtpu.ops import strings as S
+
+        for pat, pyfn in [
+            ("alpha%", lambda s: s.startswith("alpha")),
+            ("%9", lambda s: s.endswith("9")),
+            ("%mma-long%", lambda s: "mma-long" in s),
+            ("beta1", lambda s: s == "beta1"),
+        ]:
+            got = S.like(c, pat).to_pylist()
+            want = [None if s is None else pyfn(s) for s in strs]
+            assert got == want, pat
+
+    def test_substring_length(self, rng):
+        c, strs = self._col(rng)
+        from arrowtpu.ops import strings as S
+
+        got = S.substring(c, 2, 3).to_pylist()
+        assert got == [None if s is None else s[2:5] for s in strs]
+        got_len = S.length(c).to_pylist()
+        assert got_len == [None if s is None else len(s) for s in strs]
+
+
+class TestCastDevice:
+    def test_numeric_casts(self, rng):
+        n = 500_000
+        vals = rng.integers(-(2**40), 2**40, n)
+        c = at.primitive(vals, at.schema.int64, length=n)
+        from arrowtpu.ops import cast as C
+
+        f = C.cast(c, st.float64)
+        got = np.asarray(
+            [x for x in f.to_pylist()])
+        assert np.allclose(got, vals.astype(np.float64), rtol=0, atol=0)
+        # safe downcast: out-of-int32-range rows become null
+        i32 = C.cast(c, st.int32)
+        fits = (vals >= -(2**31)) & (vals < 2**31)
+        got32 = i32.to_pylist()
+        for i in rng.integers(0, n, 500):
+            want = int(vals[i]) if fits[i] else None
+            assert got32[i] == want
+
+    def test_string_cast(self, rng):
+        n = 50_000
+        vals = rng.integers(-10**6, 10**6, n)
+        c = at.primitive(vals, at.schema.int64, length=n)
+        from arrowtpu.ops import cast as C
+
+        got = C.cast(c, st.utf8).to_pylist()
+        assert got == [str(int(v)) for v in vals]
+
+
+class TestParquetIngestDevice:
+    def test_file_to_device_kernels(self, rng):
+        """Parquet bytes -> device columns -> device filter+aggregate."""
+        n = 300_000
+        vals = rng.integers(-1000, 1000, n)
+        keys = rng.integers(0, 100, n).astype(np.int32)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n)})
+        from arrowtpu.formats import parquet as apq
+
+        data = apq.write_parquet(b)
+        back = apq.read_parquet(data)
+        mask = ops.gt(back["v"], 0)
+        kept = ops.filter_(back["v"], mask)
+        want = vals[vals > 0]
+        assert int(kept.length) == want.size
+        got_sum = ops.sum_(kept)
+        assert got_sum.to_pylist()[0] == int(want.sum())
+
+
+class TestGroupByDevice:
+    def test_dense_256_buckets(self, rng):
+        """The TPU's real 256-bucket dense configuration (the CPU suite
+        shrinks to 32 buckets; round-4 verdict weak #7)."""
+        from arrowtpu.config import DENSE_GROUPBY_BUCKETS
+        from arrowtpu.ops import groupby
+
+        assert DENSE_GROUPBY_BUCKETS >= 256
+        n = 500_000
+        keys = rng.integers(0, 250, n).astype(np.int32)
+        vals = rng.integers(-1000, 1000, n)
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64, length=n)})
+        agg = groupby.plan_group_by(
+            b, ["k"], [("v", "sum"), ("v", "count"), ("v", "min")])
+        res = jax.jit(agg)(b)
+        got_k = np.asarray(res["k"].to_pylist())
+        order = np.argsort(got_k)
+        uk = np.unique(keys)
+        sums = np.zeros(uk.size, np.int64)
+        mins = np.full(uk.size, 2**62, np.int64)
+        np.add.at(sums, np.searchsorted(uk, keys), vals)
+        np.minimum.at(mins, np.searchsorted(uk, keys), vals)
+        assert np.array_equal(np.sort(got_k), uk)
+        assert np.array_equal(
+            np.asarray(res["sum_v"].to_pylist())[order], sums)
+        assert np.array_equal(
+            np.asarray(res["min_v"].to_pylist())[order], mins)
+
+    def test_sort_pipeline_minmax_tiebreak(self, rng):
+        """High-card path with the round-5 value-ordered min/max."""
+        from arrowtpu.ops import groupby
+
+        n = 300_000
+        keys = rng.integers(0, 60_000, n).astype(np.int32)
+        vals = rng.integers(-10**6, 10**6, n)
+        ok = rng.random(n) > 0.1
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.int64,
+                              validity=at.bitmap.from_numpy_bools(ok),
+                              length=n)})
+        res = jax.jit(lambda bb: groupby._sort_group_by(
+            bb, ["k"], [("v", "min"), ("v", "max"), ("v", "sum")]))(b)
+        got_k = np.asarray(res["k"].to_pylist())
+        order = np.argsort(got_k, kind="stable")
+        import collections
+
+        mn = collections.defaultdict(lambda: None)
+        mx = collections.defaultdict(lambda: None)
+        sm = collections.defaultdict(int)
+        for k, v, o in zip(keys, vals, ok):
+            if not o:
+                continue
+            k = int(k)
+            mn[k] = v if mn[k] is None else min(mn[k], v)
+            mx[k] = v if mx[k] is None else max(mx[k], v)
+            sm[k] += int(v)
+        uk = np.unique(keys)
+        got_mn = np.asarray(res["min_v"].to_pylist(), dtype=object)[order]
+        got_mx = np.asarray(res["max_v"].to_pylist(), dtype=object)[order]
+        got_sm = np.asarray(res["sum_v"].to_pylist(), dtype=object)[order]
+        for i, k in enumerate(uk):
+            assert got_mn[i] == mn[int(k)], (k, got_mn[i], mn[int(k)])
+            assert got_mx[i] == mx[int(k)], k
+            if mn[int(k)] is not None:
+                assert got_sm[i] == sm[int(k)], k
+
+
+class TestStringSortDevice:
+    def test_grouped_string_sort_64b(self, rng):
+        n = 100_000
+        prefixes = [f"shared-prefix-{i:02d}-abcdefgh" for i in range(4)]
+        strs = [prefixes[int(rng.integers(0, 4))]
+                + "".join(chr(97 + int(x))
+                          for x in rng.integers(0, 4, 30))
+                for _ in range(n)]
+        c = col.string_view(strs, st.utf8)
+        import importlib
+
+        S = importlib.import_module("arrowtpu.ops.sort")
+        idx = S.sort_to_indices(c)
+        got = np.asarray(jax.device_get(idx.values))[:n]
+        order = np.asarray(sorted(range(n), key=lambda i: (strs[i], i)))
+        assert np.array_equal(got, order)
+
+
+class TestCompact3Device:
+    @pytest.mark.parametrize("P", [1, 3, 6])
+    def test_plane_sweep(self, rng, P):
+        from arrowtpu.pallas import compact3 as pc3
+
+        n = 65536 * 8
+        planes = rng.integers(0, 2**32, (P, n), dtype=np.uint32)
+        keep = (rng.random(n) < 0.35).astype(np.uint8)
+        out = np.asarray(jax.device_get(
+            pc3.compact_planes(jnp.asarray(planes), jnp.asarray(keep))))
+        m = keep.astype(bool)
+        k = int(m.sum())
+        for p in range(P):
+            assert np.array_equal(out[p, :k], planes[p][m])
+            assert not out[p, k:].any()
+
+
+class TestVariantDevice:
+    def test_shredded_get_on_device(self):
+        from arrowtpu import variant as V
+
+        vals = [{"a": i} if i % 3 else "not-object"
+                for i in range(5000)]
+        vc = V.variant_array(vals)
+        sh = V.shred_variant(
+            vc, st.Struct((st.Field("a", st.int64),)))
+        out = V.variant_get(sh, ["a"], as_dtype=st.int64)
+        s = jax.jit(ops.sum_)(out)
+        want = sum(i for i in range(5000) if i % 3)
+        assert s.to_pylist()[0] == want
