@@ -195,7 +195,12 @@ def group_by(batch: bt.RecordBatch, keys: Sequence[str],
 
 
 def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
-                   aggs: Sequence[Tuple[str, str]]) -> bt.RecordBatch:
+                   aggs: Sequence[Tuple[str, str]],
+                   narrow_sums=None) -> bt.RecordBatch:
+    """narrow_sums: {column_name: vmin} from plan_group_by's value-range
+    probe — sum/mean over a wide column whose probed range fits 16 bits
+    uses the biased narrow segment sum (_segment_sum_narrow)."""
+    narrow_sums = narrow_sums or {}
     key_cols = [batch[k] for k in keys]
     cap = batch.capacity
     length = batch.length
@@ -307,7 +312,9 @@ def _sort_group_by(batch: bt.RecordBatch, keys: Sequence[str],
         agg_col = _segment_agg(batch[name], ctx, agg, ok_sorted, val_ops,
                                cnt_cache[name],
                                vo_max_mask=(vo_max_mask
-                                            if name == vo_name else None))
+                                            if name == vo_name else None),
+                               sum_bias=narrow_sums.get(name)
+                               if agg in ("sum", "mean") else None)
         out_fields.append(st.Field(f"{agg}_{name}", agg_col.dtype))
         out_cols.append(agg_col)
 
@@ -493,9 +500,62 @@ def plan_group_by(batch, keys, aggs):
 
         return run
 
+    # sort-pipeline plan: probe each wide integer sum/mean column's
+    # exact runtime range; a <16-bit span switches that column to the
+    # biased narrow segment sum (2 chunk cumsums instead of 8, tuple
+    # recombination).  Same plan-validity contract as the dense path:
+    # exact only while the executed batch stays within the probed range.
+    sum_names = sorted({n for n, a in aggs if a in ("sum", "mean")})
+    probeable = [
+        n for n in sum_names
+        if isinstance(batch[n], col.PrimitiveColumn)
+        and getattr(batch[n], "wide", None) in ("i64", "u64")
+    ]
+    narrow_sums = {}
+    if probeable:
+        @jax.jit
+        def probe_vals(b):
+            cap = b.capacity
+            live = bm.row_mask_bool(cap, b.length)
+            outs = []
+            for n_ in probeable:
+                c = b[n_]
+                okv = live if c.validity is None else (
+                    c.valid_bool() & live)
+                lo_p = c.values[:, 0].astype(jnp.uint32)
+                hi_p = c.values[:, 1].astype(jnp.uint32)
+                flip = (jnp.uint32(0x80000000) if c.wide == "i64"
+                        else jnp.uint32(0))
+                ph = hi_p ^ flip
+                HI32 = jnp.uint32(0xFFFFFFFF)
+                mnh = jnp.min(jnp.where(okv, ph, HI32))
+                mnl = jnp.min(jnp.where(okv & (ph == mnh), lo_p, HI32))
+                mxh = jnp.max(jnp.where(okv, ph, jnp.uint32(0)))
+                mxl = jnp.max(jnp.where(okv & (ph == mxh), lo_p,
+                                        jnp.uint32(0)))
+                any_ok = jnp.any(okv)
+                outs.append(jnp.stack([mnh, mnl, mxh, mxl,
+                                       any_ok.astype(jnp.uint32)]))
+            return jnp.stack(outs)
+        stats = np.asarray(jax.device_get(probe_vals(batch)),
+                           dtype=np.uint64)
+        for n_, row in zip(probeable, stats):
+            if not int(row[4]):
+                continue
+            signed = batch[n_].wide == "i64"
+            flip = 0x80000000 if signed else 0
+
+            def unbias(h, l):
+                v = ((int(h) ^ flip) << 32) | int(l)
+                return v - (1 << 64) if signed and v >= (1 << 63) else v
+            vmin = unbias(row[0], row[1])
+            vmax = unbias(row[2], row[3])
+            if 0 <= vmax - vmin < (1 << 16):
+                narrow_sums[n_] = vmin
+
     @jax.jit
     def run_sort(b):
-        return _sort_group_by(b, keys, aggs)
+        return _sort_group_by(b, keys, aggs, narrow_sums=narrow_sums)
 
     return run_sort
 
@@ -897,6 +957,37 @@ def _segment_sum_planes(val_planes: List[jax.Array], ok, ctx: _Ctx):
     return acc
 
 
+def _segment_sum_narrow(lo_p, ok, ctx: _Ctx, vmin: int, cnt):
+    """Exact per-group 64-bit sums when the planner proved
+    vmax - vmin < 2**16 (plan-time narrowing, the round-5 lever named in
+    PERF.md): the biased value (v - vmin) is a single 16-bit piece, so
+    ceil(16/w) chunk cumsums replace the eight 8-bit chunks and the
+    recombination runs on (lo, hi) tuple planes instead of (n, 2) limb
+    adds.  sum(v) = sum(v - vmin) + cnt * vmin  (mod 2**64, matching the
+    wide path's wrapping semantics)."""
+    vmin_u = vmin & ((1 << 64) - 1)
+    w = _chunk_bits(ctx.cap)
+    nch = -(-16 // w)
+    cmask = U32((1 << w) - 1)
+    biased = jnp.where(ok, lo_p.astype(U32) - U32(vmin_u & 0xFFFFFFFF),
+                       U32(0))
+    prefixes = [jnp.cumsum((biased >> U32(w * k)) & cmask, dtype=U32)
+                for k in range(nch)]
+    sums = _group_sums_of(prefixes, ctx)
+    s_lo = jnp.zeros_like(sums[0])
+    s_hi = jnp.zeros_like(sums[0])
+    for k, sk in enumerate(sums):
+        sh = w * k
+        add_lo = (sk << U32(sh)) if sh else sk
+        add_hi = (sk >> U32(32 - sh)) if sh else jnp.zeros_like(sk)
+        s_lo, s_hi = wd._add_t((s_lo, s_hi), (add_lo, add_hi))
+    cl = cnt.astype(U32)
+    zero = jnp.zeros_like(cl)
+    p_lo, p_hi = wd._mul_t((cl, zero), wd._const_t(vmin_u, cl.shape))
+    s_lo, s_hi = wd._add_t((s_lo, s_hi), (p_lo, p_hi))
+    return wd.make(s_lo, s_hi)
+
+
 def _segment_minmax_planes(planes, ok, ctx: _Ctx, is_min: bool):
     """Per-group lexicographic min/max of u32 planes (most significant
     first) via a segmented suffix doubling sweep + boundary compaction."""
@@ -948,7 +1039,7 @@ def _vo_extract(ctx: _Ctx, agg: str, val_ops, vo_max_mask):
 
 def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
                  val_ops: List[jax.Array], cnt_has=None,
-                 vo_max_mask=None) -> col.Column:
+                 vo_max_mask=None, sum_bias=None) -> col.Column:
     num_groups = ctx.num_groups
     wide_kind = c.wide if isinstance(c, col.PrimitiveColumn) else None
 
@@ -996,7 +1087,10 @@ def _segment_agg(c: col.Column, ctx: _Ctx, agg: str, ok_sorted,
                     wd.f64_from_value(mean), has_v, num_groups, st.float64)
             return col.PrimitiveColumn(
                 wd.f64_from_value(s), has_v, num_groups, st.float64)
-        s = _segment_sum_planes([lo_p, hi_p], ok_sorted, ctx)
+        if sum_bias is not None:
+            s = _segment_sum_narrow(lo_p, ok_sorted, ctx, sum_bias, cnt)
+        else:
+            s = _segment_sum_planes([lo_p, hi_p], ok_sorted, ctx)
         if agg == "mean":
             fv = (wd.i64_to_float(s) if wide_kind == "i64"
                   else wd.u64_to_float(s))

@@ -87,3 +87,17 @@ for label, aggs in [
         return bump_batch(bb, fn(bb))
 
     t(f"groupby[{label}]", step, b)
+
+
+# round-5 late: plan-time narrow sums (vals fit 16 bits -> biased sums)
+for label, aggs in [
+    ("sum (narrow plan)", [("v", "sum")]),
+    ("sum+count+min (narrow plan)",
+     [("v", "sum"), ("v", "count"), ("v", "min")]),
+]:
+    fn = groupby.plan_group_by(b, ["k"], list(aggs))
+
+    def step(bb, fn=fn):
+        return bump_batch(bb, fn(bb))
+
+    t(f"groupby[{label}]", step, b)

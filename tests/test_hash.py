@@ -410,6 +410,59 @@ class TestPlanGroupBy:
             gv = np.asarray(got[name].to_pylist())[gorder]
             assert np.array_equal(wv, gv), name
 
+    def test_plan_narrow_sum_bias_offsets(self):
+        """Sort-tier plan-time narrow sums (round-5): a wide column whose
+        range fits 16 bits but sits at a huge offset must bias exactly
+        (sum = narrow biased sum + cnt * vmin mod 2**64)."""
+        import numpy as np
+
+        from arrowtpu.ops import groupby
+
+        rng = np.random.default_rng(11)
+        n = 4096
+        keys = rng.integers(0, 700, n, dtype=np.int32)  # sort tier
+        for base in (10**15, -(10**15), -250):
+            vals = base + rng.integers(0, 500, n)
+            b = at.record_batch({
+                "k": at.primitive(keys, at.schema.int32, length=n),
+                "v": at.primitive(vals, at.schema.int64, length=n),
+            })
+            aggs = [("v", "sum"), ("v", "mean"), ("v", "count")]
+            want = groupby.group_by(b, ["k"], aggs)
+            got = groupby.plan_group_by(b, ["k"], aggs)(b)
+            worder = np.argsort(np.asarray(want["k"].to_pylist()))
+            gorder = np.argsort(np.asarray(got["k"].to_pylist()))
+            for name in ("k", "sum_v", "mean_v", "count_v"):
+                wv = np.asarray(want[name].to_pylist())[worder]
+                gv = np.asarray(got[name].to_pylist())[gorder]
+                assert np.array_equal(wv, gv), (name, base)
+
+    def test_plan_narrow_sum_u64_and_nullable_values(self):
+        import numpy as np
+
+        from arrowtpu.ops import groupby
+
+        rng = np.random.default_rng(13)
+        n = 4096
+        keys = rng.integers(0, 900, n, dtype=np.int32)
+        vals = (2**63) + rng.integers(0, 60000, n).astype(np.uint64)
+        vvalid = rng.random(n) > 0.3
+        b = at.record_batch({
+            "k": at.primitive(keys, at.schema.int32, length=n),
+            "v": at.primitive(vals, at.schema.uint64,
+                              validity=at.bitmap.from_numpy_bools(vvalid),
+                              length=n),
+        })
+        aggs = [("v", "sum"), ("v", "count")]
+        want = groupby.group_by(b, ["k"], aggs)
+        got = groupby.plan_group_by(b, ["k"], aggs)(b)
+        assert sorted(zip(want["k"].to_pylist(),
+                          want["sum_v"].to_pylist(),
+                          want["count_v"].to_pylist())) == \
+            sorted(zip(got["k"].to_pylist(),
+                       got["sum_v"].to_pylist(),
+                       got["count_v"].to_pylist()))
+
     def test_plan_with_nullable_key_and_values(self):
         import numpy as np
 

@@ -27,7 +27,12 @@ class TestJoinDevice:
             "b": at.primitive(np.arange(m), at.schema.int64, length=m)})
         from arrowtpu.ops import join as J
 
-        out, _info = J.hash_join(left, right, ["k"], how=how)
+        # left join emits ~136.8k rows (matches + unmatched) here — more
+        # than the default out_capacity (= left.capacity); size it up and
+        # assert the overflow flag agrees
+        out, info = J.hash_join(left, right, ["k"], how=how,
+                                out_capacity=256_000)
+        assert not bool(info.overflow)
         got = sorted(zip(out["a"].to_pylist(), out["b"].to_pylist()))
         import collections
 
